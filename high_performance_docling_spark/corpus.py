@@ -1,0 +1,462 @@
+"""Deterministic synthetic corpus of interleaved text+media documents.
+
+The north-rule input table has rows ``(doc_id: string, spans:
+array<struct<kind, text, media_ref, offset>>)`` (BASELINE.json
+``input_hint``). This module generates that corpus deterministically from
+a seed — no external data — and provides the *typesetter*: the pure
+function that lays a document's spans out onto synthetic PDF-like pages
+(cells with geometry). The typesetter is the sandbox stand-in for the
+reference's PDF parse backend (lambda_preprocessor.py:15-44:
+``load_page → get_segmented_page → cells``), so the extraction pipeline
+genuinely re-derives structure from geometry.
+
+Layout detections ("hints") are produced by :func:`synth_detections`, the
+deterministic stand-in for the RT-DETR layout model
+(fork/layout/layout_predictor_gpu.py:253-315): true element boxes plus
+noise that the layout post-processor must clean up — sub-threshold
+spurious boxes, duplicate/inset detections, TITLE mislabels, outward
+jitter, full-page pictures, missing detections (orphan path), and FORM
+wrapper proposals.
+
+Everything is a pure function of (seed, doc content) — platform-stable
+via ``random.Random`` string seeding — so Spark stages and the serial
+oracle compute identical values.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from typing import Any
+
+from .kernels.assemble import media_ref_for_crop
+from .kernels.reading_order import assemble_spans, predict_reading_order
+from . import labels as L
+
+PAGE_W = 612.0
+PAGE_H = 792.0
+MARGIN = 54.0
+LINE_H = 11.0
+LEADING = 14.0
+PARA_GAP = 16.0  # > reading_order._ATTACH_GAP so only planted captions attach
+ATTACH_GAP = 4.0
+BODY_TOP = MARGIN
+BODY_BOTTOM = PAGE_H - MARGIN
+COL_GAP = 20.0
+
+VOCAB = (
+    "spark shuffle partition executor driver catalyst tungsten arrow batch "
+    "column row schema parquet iceberg table scan filter join window agg "
+    "broadcast salt skew codegen vector kernel layout cluster cell page "
+    "document span text media figure caption reading order extract pipeline "
+    "stage checkpoint lineage resume graph plan stream state merge sort rank "
+    "index hash range bucket sample quantile distinct union map reduce fold "
+    "encode decode tokenize segment detect assemble render corpus synthetic "
+    "deterministic throughput latency scale efficiency baseline metric bench"
+).split()
+
+UNICODE_DECOR = ["’", "‘", "“", "”", "•", "⁄"]
+
+
+@dataclass
+class GenConfig:
+    seed: int = 42
+    n_docs: int = 100
+    pages_min: int = 1
+    pages_max: int = 5
+    mega_frac: float = 0.02   # fraction of docs with mega page counts (skew)
+    mega_pages: int = 24
+    noise: bool = True        # plant detector noise (postprocessor work)
+    two_col_frac: float = 0.3
+
+
+# --------------------------------------------------------------------------
+# span content generation
+# --------------------------------------------------------------------------
+
+def _words(rng: random.Random, n: int) -> list[str]:
+    return [rng.choice(VOCAB) for _ in range(n)]
+
+
+def _make_lines(rng: random.Random, n_lines: int, wpl: tuple[int, int]) -> list[str]:
+    """Build raw text lines with deterministic hyphenation and unicode
+    decoration (exercises sanitize_text: page_assemble_model.py:36-67)."""
+    lines = [" ".join(_words(rng, rng.randint(*wpl))) for _ in range(n_lines)]
+    # Hyphenate: move the tail of the next line's first word up.
+    for i in range(n_lines - 1):
+        if rng.random() < 0.25:
+            nxt = lines[i + 1].split(" ")
+            w = nxt[0]
+            if len(w) >= 6 and w.isalnum():
+                cut = rng.randint(2, len(w) - 2)
+                lines[i] += " " + w[:cut] + "-"
+                nxt[0] = w[cut:]
+                lines[i + 1] = " ".join(nxt)
+    # Unicode decoration on a random middle word (never the first word of a
+    # line, so de-hyphenation preconditions stay intact).
+    for i in range(n_lines):
+        if rng.random() < 0.2:
+            ws = lines[i].split(" ")
+            if len(ws) >= 3:
+                j = rng.randint(1, len(ws) - 1)
+                deco = rng.choice(UNICODE_DECOR)
+                if deco in ("“",):
+                    ws[j] = "“" + ws[j] + "”"
+                elif deco in ("’", "‘"):
+                    ws[j] = ws[j] + deco + "s"
+                elif deco == "⁄":
+                    ws[j] = ws[j] + "⁄" + rng.choice(VOCAB)
+                else:
+                    ws[j] = deco + " " + ws[j]
+                lines[i] = " ".join(ws)
+    return lines
+
+
+def gen_doc_spans(cfg: GenConfig, doc_index: int) -> list[dict[str, Any]]:
+    """Draft the document's spans in flow order (raw text, media_ref filled
+    after typesetting). Returns span dicts: kind, text, media_ref, plus a
+    private _table (grid dims) / _pic (size) hint used only by typesetting
+    content decisions — everything derivable from text itself."""
+    rng = random.Random(f"{cfg.seed}:{doc_index}:content")
+    is_mega = rng.random() < cfg.mega_frac
+    n_pages = (
+        rng.randint(cfg.pages_max, cfg.mega_pages) if is_mega
+        else rng.randint(cfg.pages_min, cfg.pages_max)
+    )
+    # Target content volume ~ pages; typesetting flows across pages itself.
+    spans: list[dict[str, Any]] = []
+
+    def add(kind: str, text: str) -> dict[str, Any]:
+        s = {"kind": kind, "text": text, "media_ref": ""}
+        spans.append(s)
+        return s
+
+    n_blocks = max(3, int(n_pages * rng.uniform(6, 10)))
+    add(L.SECTION_HEADER, " ".join(_words(rng, rng.randint(2, 5))))
+    for _ in range(n_blocks):
+        roll = rng.random()
+        if roll < 0.42:
+            add(L.TEXT, "\n".join(_make_lines(rng, rng.randint(1, 5), (4, 8))))
+        elif roll < 0.54:
+            add(L.SECTION_HEADER, " ".join(_words(rng, rng.randint(2, 5))))
+        elif roll < 0.68:
+            add(L.LIST_ITEM, "\n".join(_make_lines(rng, rng.randint(1, 2), (3, 7))))
+        elif roll < 0.76:  # table (+ optional caption/footnote)
+            nr, nc = rng.randint(2, 4), rng.randint(2, 4)
+            grid = [[rng.choice(VOCAB) for _ in range(nc)] for _ in range(nr)]
+            add(L.TABLE, "\n".join(w for row in grid for w in row))
+            if rng.random() < 0.6:
+                add(L.CAPTION, " ".join(_words(rng, rng.randint(3, 7))))
+            if rng.random() < 0.25:
+                add(L.FOOTNOTE, " ".join(_words(rng, rng.randint(3, 6))))
+        elif roll < 0.84:  # picture (+ optional caption)
+            add(L.PICTURE, "")
+            if rng.random() < 0.6:
+                add(L.CAPTION, " ".join(_words(rng, rng.randint(3, 7))))
+        elif roll < 0.90:
+            add(L.CODE, "\n".join(_make_lines(rng, rng.randint(1, 3), (2, 5))))
+        elif roll < 0.95:
+            add(L.FORMULA, " ".join(_words(rng, rng.randint(2, 4))))
+        else:
+            add(L.PAGE_HEADER, " ".join(_words(rng, rng.randint(2, 4))))
+    return spans
+
+
+# --------------------------------------------------------------------------
+# typesetting (the synthetic "PDF backend")
+# --------------------------------------------------------------------------
+
+@dataclass
+class TypesetElement:
+    span_ix: int            # index into the input span list (-1 = none)
+    label: str
+    page_no: int
+    l: float
+    t: float
+    r: float
+    b: float
+    cell_ixs: list[int] = field(default_factory=list)  # page-local cell indices
+    lines: list[str] = field(default_factory=list)
+
+
+@dataclass
+class TypesetPage:
+    page_no: int
+    width: float
+    height: float
+    cells: list[dict[str, Any]] = field(default_factory=list)
+    elements: list[TypesetElement] = field(default_factory=list)
+
+
+def _line_width(text: str, col_w: float, is_last: bool, rng: random.Random) -> float:
+    if not is_last:
+        return col_w
+    return max(24.0, min(col_w, 5.4 * len(text) * (0.85 + 0.3 * rng.random())))
+
+
+def typeset(doc_id: str, spans: list[dict[str, Any]], cfg: GenConfig) -> list[TypesetPage]:
+    """Lay spans out onto pages. Pure function of (doc_id, span kinds+texts,
+    cfg.seed) — styling randomness is keyed by doc_id, not by how the span
+    list was produced, so the generator and the Spark parse stage (S1)
+    compute identical geometry.
+
+    Flow: fill column(s) top to bottom; a table/picture's caption and
+    footnote stay attached (gap ATTACH_GAP); a new column/page starts when
+    a block doesn't fit. Two-column pages are used only when the XY-cut
+    reading order of the result provably equals flow order (checked per
+    page; otherwise the page falls back to one column)."""
+    style = random.Random(f"{cfg.seed}:{doc_id}:style")
+    pages: list[TypesetPage] = []
+
+    # Group spans into blocks that must stay together vertically:
+    # parent + trailing caption/footnote.
+    blocks: list[list[int]] = []
+    i = 0
+    while i < len(spans):
+        group = [i]
+        if spans[i]["kind"] in (L.TABLE, L.PICTURE):
+            j = i + 1
+            while j < len(spans) and spans[j]["kind"] in (L.CAPTION, L.FOOTNOTE):
+                group.append(j)
+                j += 1
+            i = j
+        else:
+            i += 1
+        blocks.append(group)
+
+    def block_height(group: list[int], col_w: float) -> float:
+        h = 0.0
+        for k, ix in enumerate(group):
+            sp = spans[ix]
+            if sp["kind"] == L.TABLE:
+                n_cells = len(sp["text"].split("\n"))
+                n_rows = max(1, round(n_cells ** 0.5))
+                h += n_rows * 16.0 + 8.0
+            elif sp["kind"] == L.PICTURE:
+                h += 90.0
+            else:
+                h += len(sp["text"].split("\n")) * LEADING
+            if k + 1 < len(group):
+                h += ATTACH_GAP
+        return h
+
+    def place_block(page: TypesetPage, group: list[int], x0: float, col_w: float, y: float) -> float:
+        rng = random.Random(f"{cfg.seed}:{doc_id}:p{page.page_no}:b{group[0]}")
+        for k, ix in enumerate(group):
+            sp = spans[ix]
+            kind = sp["kind"]
+            if kind == L.PICTURE:
+                w = col_w * (0.6 + 0.35 * rng.random())
+                h = 60.0 + 60.0 * rng.random()
+                el = TypesetElement(ix, kind, page.page_no, x0, y, x0 + w, y + h)
+                page.elements.append(el)
+                y += h
+            elif kind == L.TABLE:
+                words = sp["text"].split("\n")
+                n = len(words)
+                n_rows = max(1, round(n ** 0.5))
+                n_cols = (n + n_rows - 1) // n_rows
+                cw, rh = col_w / n_cols, 16.0
+                el = TypesetElement(ix, kind, page.page_no, x0, y,
+                                    x0 + col_w, y + n_rows * rh + 8.0)
+                for m, wtext in enumerate(words):
+                    rr, cc = divmod(m, n_cols)
+                    cl = x0 + cc * cw + 3.0
+                    ct = y + 4.0 + rr * rh
+                    cell = {
+                        "index": len(page.cells),
+                        "text": wtext,
+                        "l": cl, "t": ct,
+                        "r": cl + max(10.0, min(cw - 6.0, 5.4 * len(wtext))),
+                        "b": ct + LINE_H,
+                        "from_ocr": False, "confidence": 1.0,
+                    }
+                    page.cells.append(cell)
+                    el.cell_ixs.append(cell["index"])
+                el.lines = words
+                page.elements.append(el)
+                y = el.b
+            else:  # text-like: one cell per line
+                lines = sp["text"].split("\n")
+                el = TypesetElement(ix, kind, page.page_no, x0, y, x0, y)
+                for li, line in enumerate(lines):
+                    w = _line_width(line, col_w, li == len(lines) - 1, rng)
+                    cell = {
+                        "index": len(page.cells),
+                        "text": line,
+                        "l": x0, "t": y, "r": x0 + w, "b": y + LINE_H,
+                        "from_ocr": False, "confidence": 1.0,
+                    }
+                    page.cells.append(cell)
+                    el.cell_ixs.append(cell["index"])
+                    y += LEADING
+                y -= LEADING - LINE_H  # element bottom = last line bottom
+                el.l = x0
+                el.r = max(page.cells[c]["r"] for c in el.cell_ixs)
+                el.b = y
+                el.lines = lines
+                page.elements.append(el)
+            y += ATTACH_GAP if k + 1 < len(group) else 0.0
+        return y
+
+    def page_flow_ok(page: TypesetPage) -> bool:
+        """Check XY-cut returns flow order for this page's elements."""
+        els = [
+            {"cid": n, "page_no": page.page_no,
+             "l": e.l, "t": e.t, "r": e.r, "b": e.b, "label": e.label}
+            for n, e in enumerate(page.elements)
+        ]
+        return predict_reading_order(els) == list(range(len(els)))
+
+    bi = 0
+    page_no = 0
+    while bi < len(blocks):
+        for attempt_cols in (2 if style.random() < cfg.two_col_frac else 1, 1):
+            page = TypesetPage(page_no, PAGE_W, PAGE_H)
+            cur = bi
+            if attempt_cols == 1:
+                col_xs = [(MARGIN, PAGE_W - 2 * MARGIN)]
+            else:
+                cw = (PAGE_W - 2 * MARGIN - COL_GAP) / 2
+                col_xs = [(MARGIN, cw), (MARGIN + cw + COL_GAP, cw)]
+            for (x0, col_w) in col_xs:
+                y = BODY_TOP
+                while cur < len(blocks):
+                    h = block_height(blocks[cur], col_w)
+                    if y > BODY_TOP and y + h > BODY_BOTTOM:
+                        break
+                    y = place_block(page, blocks[cur], x0, col_w, y)
+                    y += PARA_GAP
+                    cur += 1
+                if cur >= len(blocks):
+                    break
+            if attempt_cols == 1 or page_flow_ok(page):
+                bi = cur
+                pages.append(page)
+                break
+            # else: retry same blocks as single column
+        page_no += 1
+        if page_no > 2000:  # safety
+            break
+    return pages
+
+
+# --------------------------------------------------------------------------
+# synthetic layout detections (the fake RT-DETR)
+# --------------------------------------------------------------------------
+
+def synth_detections(
+    doc_id: str, page: TypesetPage, cfg: GenConfig
+) -> list[dict[str, Any]]:
+    """Raw cluster proposals for one page: true element boxes + recoverable
+    noise. Mirrors the predictor output dicts
+    (fork/layout/layout_predictor_gpu.py:312: {l,t,r,b,label,confidence})."""
+    rng = random.Random(f"{cfg.seed}:{doc_id}:p{page.page_no}:noise")
+    dets: list[dict[str, Any]] = []
+    next_id = 0
+
+    def emit(label: str, l: float, t: float, r: float, b: float, conf: float) -> None:
+        nonlocal next_id
+        dets.append(
+            {"id": next_id, "label": label, "l": l, "t": t, "r": r, "b": b,
+             "confidence": conf}
+        )
+        next_id += 1
+
+    noise = cfg.noise
+    # FORM wrapper proposals over runs of >=2 consecutive single-column
+    # text-ish elements (exercises child assignment :503-530).
+    form_members: set[int] = set()
+    if noise and rng.random() < 0.15:
+        idxs = [
+            n for n, e in enumerate(page.elements)
+            if e.label in (L.TEXT, L.LIST_ITEM) and e.span_ix >= 0
+        ]
+        runs = [
+            (a, b) for a, b in zip(idxs, idxs[1:])
+            if b == a + 1 and page.elements[a].label in (L.TEXT, L.LIST_ITEM)
+            and abs(page.elements[a].l - page.elements[b].l) < 1.0
+        ]
+        if runs:
+            a, b = runs[rng.randrange(len(runs))]
+            ea, eb = page.elements[a], page.elements[b]
+            emit(L.FORM, min(ea.l, eb.l) - 2, ea.t - 2, max(ea.r, eb.r) + 2,
+                 eb.b + 2, 0.8)
+            form_members.update((a, b))
+
+    for n, el in enumerate(page.elements):
+        conf = 0.55 + 0.4 * rng.random()
+        label = el.label
+        if el.label == L.PICTURE:
+            emit(L.PICTURE, el.l, el.t, el.r, el.b, max(conf, 0.6))
+            if noise and rng.random() < 0.3:  # inset duplicate → picture merge
+                emit(L.PICTURE, el.l + 2, el.t + 2, el.r - 2, el.b - 2,
+                     max(conf - 0.1, 0.55))
+            continue
+        if el.label == L.TABLE:
+            emit(L.TABLE, el.l, el.t, el.r, el.b, max(conf, 0.6))
+            if noise and rng.random() < 0.3:  # inset duplicate → wrapper merge
+                emit(L.TABLE, el.l + 2, el.t + 2, el.r - 2, el.b - 2,
+                     max(conf - 0.1, 0.55))
+            continue
+        # regular text-like detection
+        if noise and el.label == L.TEXT and len(el.cell_ixs) == 1 and rng.random() < 0.08:
+            continue  # missing detection → orphan cell path (:436-455)
+        if el.label == L.SECTION_HEADER and noise and rng.random() < 0.5:
+            label = L.TITLE  # remap case (:417-420)
+        l, t, r, b = el.l, el.t, el.r, el.b
+        if noise and rng.random() < 0.2:  # outward jitter; envelope-adjust fixes
+            l -= 1.5 * rng.random(); t -= 1.5 * rng.random()
+            r += 1.5 * rng.random(); b += 1.5 * rng.random()
+        if noise and rng.random() < 0.07:
+            # right-sliver competitor listed first: argmax assignment must
+            # still route every cell to the full box (left-anchored lines
+            # never sit mostly inside the right sliver), leaving the sliver
+            # empty → dropped by the empty filter (:426-434)
+            emit(label, el.l + 0.45 * (el.r - el.l), el.t, el.r, el.b, conf)
+        emit(label, l, t, r, b, conf)
+        if noise and rng.random() < 0.12:
+            # sub-threshold spurious proposal (filtered at :410-415)
+            thr = L.CONFIDENCE_THRESHOLDS[label]
+            emit(label, l, t, r, b, max(0.05, thr - 0.05 - 0.1 * rng.random()))
+
+    if noise and rng.random() < 0.06:
+        # full-page picture proposal (filtered at :488-501)
+        emit(L.PICTURE, 2.0, 2.0, page.width - 2.0, page.height - 2.0, 0.9)
+    return dets
+
+
+# --------------------------------------------------------------------------
+# document-level generation
+# --------------------------------------------------------------------------
+
+def doc_id_for(doc_index: int) -> str:
+    return f"doc-{doc_index:09d}"
+
+
+def generate_doc(cfg: GenConfig, doc_index: int) -> dict[str, Any]:
+    """One input-table row: {doc_id, spans:[{kind,text,media_ref,offset}]}.
+
+    Picture media_refs are filled from typeset geometry so the pipeline's
+    content-addressed crop refs round-trip exactly."""
+    doc_id = doc_id_for(doc_index)
+    spans = gen_doc_spans(cfg, doc_index)
+    pages = typeset(doc_id, spans, cfg)
+    for page in pages:
+        for el in page.elements:
+            if el.label == L.PICTURE and el.span_ix >= 0:
+                spans[el.span_ix]["media_ref"] = media_ref_for_crop(
+                    doc_id, page.page_no, el.l, el.t, el.r, el.b
+                )
+    return {
+        "doc_id": doc_id,
+        "spans": [
+            {"kind": s["kind"], "text": s["text"],
+             "media_ref": s["media_ref"], "offset": i}
+            for i, s in enumerate(spans)
+        ],
+    }
+
+
+def generate_corpus(cfg: GenConfig) -> list[dict[str, Any]]:
+    return [generate_doc(cfg, i) for i in range(cfg.n_docs)]

@@ -1,0 +1,376 @@
+"""Layout post-processing: clean raw layout detections and attach cells.
+
+A from-scratch reimplementation of the reference's post-processing stage
+(/root/reference/fork/layout/layout_postprocessor.py:280-1075) as a pure
+page-local kernel. The reference mutates pydantic ``Cluster`` objects and
+uses R-tree/grid candidate indexes; per page the cardinalities are tiny
+(tens of clusters, hundreds of cells), so this kernel uses plain dicts and
+O(N·M) vectorized NumPy — same results, no index bookkeeping. At corpus
+scale the parallelism lives OUTSIDE this function (one page per row in a
+``mapInArrow`` stage), which is where the 100 TB story comes from.
+
+Semantics ported (with reference file:line):
+  - per-label confidence filter            (:410-415, :478-483)
+  - TITLE→SECTION_HEADER remap             (:417-420)
+  - cell→cluster argmax assignment, IoS>0.2, early-accept >=0.95 (:899-993)
+  - empty-cluster filter keeping FORMULA   (:426-434)
+  - orphan cells → singleton TEXT clusters (:436-455)
+  - iterative refinement ≤3: bbox-envelope adjust (TABLE unions own bbox)
+    + overlap merge (IoU/containment ≥ 0.8, UnionFind groups, rule-based
+    best pick, cell merge)                 (:457-475, :654-844, :1009-1047)
+  - cross-type wrapper-vs-TABLE suppression (:550-583)
+  - full-page PICTURE filter (>0.90 page)  (:488-501)
+  - special-cluster child assignment (IoS>0.8), FORM/KV bbox from children,
+    cells = dedup'd union of child cells   (:503-530)
+  - picture / wrapper overlap resolution   (:532-548)
+  - contained-regular removal + final (first_cell_index, t, l) sort
+                                           (:378-399, :1053-1065)
+
+Deterministic tie-breaks: clusters are always processed in input-list
+order (the reference's grid-bucket candidate order is replaced by input
+order — results can only differ when two candidates both exceed the 0.95
+early-accept for the same cell, an accepted compat-mode-style divergence).
+Compat-mode epsilon (1e-4) on overlap thresholds is the default, per the
+reference's DOCLING_GPU_COMPAT_MODE (:339-340).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Any
+
+import numpy as np
+
+from ..labels import (
+    CONFIDENCE_THRESHOLDS,
+    FORM,
+    FORMULA,
+    KEY_VALUE_REGION,
+    LABEL_REMAP,
+    LIST_ITEM,
+    CODE,
+    OVERLAP_PARAMS,
+    PICTURE,
+    SPECIAL_LABELS,
+    TABLE,
+    TEXT,
+    WRAPPER_LABELS,
+)
+from ..geometry import pairwise_overlap_mask, union_find_groups
+
+_MAXIDX = sys.maxsize
+
+
+def _box(c: dict[str, Any]) -> tuple[float, float, float, float]:
+    return (c["l"], c["t"], c["r"], c["b"])
+
+
+def _area(c: dict[str, Any]) -> float:
+    return max(0.0, c["r"] - c["l"]) * max(0.0, c["b"] - c["t"])
+
+
+def _ios(inner: dict[str, Any], outer: dict[str, Any]) -> float:
+    """intersection_over_self(inner): inter area / area(inner)."""
+    a = _area(inner)
+    if a <= 0.0:
+        return 0.0
+    iw = min(inner["r"], outer["r"]) - max(inner["l"], outer["l"])
+    ih = min(inner["b"], outer["b"]) - max(inner["t"], outer["t"])
+    if iw <= 0.0 or ih <= 0.0:
+        return 0.0
+    return (iw * ih) / a
+
+
+def _dedup_cells(cells: list[dict]) -> list[dict]:
+    """Unique by cell index, first occurrence wins (:876-897)."""
+    seen: set[int] = set()
+    out = []
+    for cell in cells:
+        if cell["index"] not in seen:
+            seen.add(cell["index"])
+            out.append(cell)
+    return out
+
+
+def _sort_cells(cells: list[dict]) -> list[dict]:
+    return sorted(cells, key=lambda c: c["index"])
+
+
+def _sort_clusters_id(clusters: list[dict]) -> list[dict]:
+    return sorted(clusters, key=lambda c: (c["first_cell_index"], c["t"], c["l"]))
+
+
+def _should_prefer(candidate: dict, other: dict, params: dict) -> bool:
+    """Preference rules between two overlapping clusters (:585-619)."""
+    if candidate["label"] == LIST_ITEM and other["label"] == TEXT:
+        other_area = _area(other)
+        if other_area > 0.0 and abs(1.0 - _area(candidate) / other_area) < 0.2:
+            return True
+    if candidate["label"] == CODE and _ios(other, candidate) > 0.8:
+        return True
+    other_area = _area(other)
+    area_ratio = _area(candidate) / other_area if other_area > 0.0 else float("inf")
+    conf_diff = other["confidence"] - candidate["confidence"]
+    if area_ratio <= params["area_threshold"] and conf_diff > params["conf_threshold"]:
+        return False
+    return True
+
+
+def _select_best(group: list[dict], params: dict) -> dict:
+    """Pick the surviving cluster of an overlap group (:621-652)."""
+    best = None
+    for candidate in group:
+        if any(
+            other is not candidate and not _should_prefer(candidate, other, params)
+            for other in group
+        ):
+            continue
+        if best is None:
+            best = candidate
+        elif (
+            _area(candidate) > _area(best)
+            and best["confidence"] - candidate["confidence"] <= params["conf_threshold"]
+        ):
+            best = candidate
+    return best if best is not None else group[0]
+
+
+def _remove_overlaps(
+    clusters: list[dict], family: str, epsilon: float
+) -> tuple[list[dict], bool]:
+    """Merge sufficiently-overlapping clusters, keep the rule-based best
+    (:654-844). Group membership is order-independent (connected
+    components); group and member ordering follow input order."""
+    if not clusters:
+        return [], False
+    params = OVERLAP_PARAMS[family]
+    boxes = np.array([_box(c) for c in clusters], dtype=np.float64)
+    mask = pairwise_overlap_mask(boxes, 0.8, 0.8, epsilon)
+    edges = np.argwhere(np.triu(mask, k=1))
+    groups = union_find_groups(len(clusters), edges)
+    result: list[dict] = []
+    merged = False
+    for group_ix in groups:
+        if len(group_ix) == 1:
+            result.append(clusters[group_ix[0]])
+            continue
+        merged = True
+        group = [clusters[i] for i in group_ix]
+        best = _select_best(group, params)
+        merged_cells = list(best["cells"])
+        for c in group:
+            if c is not best:
+                merged_cells.extend(c["cells"])
+        best["cells"] = _sort_cells(_dedup_cells(merged_cells))
+        result.append(best)
+    return result, merged
+
+
+def _assign_cells(
+    clusters: list[dict], valid_cells: list[dict], min_overlap: float = 0.2
+) -> set[int]:
+    """Argmax spatial join: each cell → cluster maximizing IoS(cell), with
+    a floor of ``min_overlap`` and early accept at >= 0.95 (:899-993).
+    Mutates clusters (cells, first_cell_index); returns assigned indices."""
+    for c in clusters:
+        c["cells"] = []
+        c["first_cell_index"] = _MAXIDX
+    assigned: set[int] = set()
+    if not clusters or not valid_cells:
+        return assigned
+
+    cboxes = np.array([_box(c) for c in clusters], dtype=np.float64)
+    careas = np.clip(cboxes[:, 2] - cboxes[:, 0], 0, None) * np.clip(
+        cboxes[:, 3] - cboxes[:, 1], 0, None
+    )
+    for cell in valid_cells:
+        cl, ct, cr, cb = cell["l"], cell["t"], cell["r"], cell["b"]
+        cell_area = max(0.0, cr - cl) * max(0.0, cb - ct)
+        if cell_area <= 0.0:
+            continue
+        iw = np.minimum(cr, cboxes[:, 2]) - np.maximum(cl, cboxes[:, 0])
+        ih = np.minimum(cb, cboxes[:, 3]) - np.maximum(ct, cboxes[:, 1])
+        ios = np.where((iw > 0) & (ih > 0), np.clip(iw, 0, None) * np.clip(ih, 0, None) / cell_area, 0.0)
+        best_cluster = None
+        best_overlap = min_overlap
+        for j in range(len(clusters)):
+            if ios[j] > best_overlap:
+                best_overlap = float(ios[j])
+                best_cluster = clusters[j]
+                if best_overlap >= 0.95:
+                    break
+        if best_cluster is not None:
+            best_cluster["cells"].append(cell)
+            if cell["index"] < best_cluster["first_cell_index"]:
+                best_cluster["first_cell_index"] = cell["index"]
+            assigned.add(cell["index"])
+    for c in clusters:
+        c["cells"] = _dedup_cells(c["cells"])
+    return assigned
+
+
+def _adjust_bboxes(clusters: list[dict]) -> bool:
+    """Shrink/grow each cluster bbox to the envelope of its cells; TABLE
+    unions its own detected bbox (:1009-1047). Returns True if any moved."""
+    changed = False
+    for c in clusters:
+        if not c["cells"]:
+            continue
+        ls = [cell["l"] for cell in c["cells"]]
+        ts = [cell["t"] for cell in c["cells"]]
+        rs = [cell["r"] for cell in c["cells"]]
+        bs = [cell["b"] for cell in c["cells"]]
+        nl, nt, nr, nb = min(ls), min(ts), max(rs), max(bs)
+        if c["label"] == TABLE:
+            nl, nt = min(nl, c["l"]), min(nt, c["t"])
+            nr, nb = max(nr, c["r"]), max(nb, c["b"])
+        if (nl, nt, nr, nb) != (c["l"], c["t"], c["r"], c["b"]):
+            c["l"], c["t"], c["r"], c["b"] = nl, nt, nr, nb
+            changed = True
+    return changed
+
+
+def postprocess_page(
+    page_width: float,
+    page_height: float,
+    cells: list[dict],
+    raw_clusters: list[dict],
+    *,
+    epsilon: float = 1e-4,
+    keep_empty_clusters: bool = False,
+    create_orphan_clusters: bool = True,
+) -> list[dict]:
+    """Run the full layout post-process for one page.
+
+    ``cells``: dicts with index:int, text:str, l,t,r,b:float,
+    confidence:float (and any passthrough keys). ``raw_clusters``: dicts
+    with id:int, label:str, l,t,r,b:float, confidence:float.
+
+    Returns the final cluster list in reading-prep order; each cluster has
+    id, label, l, t, r, b, confidence, cells (sorted by index) and
+    children (list of child clusters, same shape, empty below one level).
+    """
+    clusters = [
+        {
+            "id": int(c["id"]),
+            "label": str(c["label"]),
+            "l": float(c["l"]),
+            "t": float(c["t"]),
+            "r": float(c["r"]),
+            "b": float(c["b"]),
+            "confidence": float(c["confidence"]),
+            "cells": [],
+            "children": [],
+            "first_cell_index": _MAXIDX,
+        }
+        for c in raw_clusters
+    ]
+    max_input_id = max((c["id"] for c in clusters), default=0)
+    regular = [c for c in clusters if c["label"] not in SPECIAL_LABELS]
+    special = [c for c in clusters if c["label"] in SPECIAL_LABELS]
+
+    # Valid cells: non-blank text, positive area (:349-357).
+    valid_cells = [
+        c
+        for c in cells
+        if str(c.get("text") or "").strip() and (c["r"] - c["l"]) * (c["b"] - c["t"]) > 0
+    ]
+
+    # --- regular clusters (:408-475) ---------------------------------------
+    reg = [c for c in regular if c["confidence"] >= CONFIDENCE_THRESHOLDS[c["label"]]]
+    for c in reg:
+        c["label"] = LABEL_REMAP.get(c["label"], c["label"])
+
+    assigned = _assign_cells(reg, valid_cells)
+
+    if not keep_empty_clusters:
+        reg = [c for c in reg if c["cells"] or c["label"] == FORMULA]
+
+    if create_orphan_clusters:
+        unassigned = [c for c in valid_cells if c["index"] not in assigned]
+        for i, cell in enumerate(unassigned):
+            reg.append(
+                {
+                    "id": max_input_id + 1 + i,
+                    "label": TEXT,
+                    "l": float(cell["l"]),
+                    "t": float(cell["t"]),
+                    "r": float(cell["r"]),
+                    "b": float(cell["b"]),
+                    "confidence": float(cell.get("confidence", 1.0)),
+                    "cells": [cell],
+                    # NOTE: the reference leaves orphan first_cell_index at
+                    # sys.maxsize (PrivateAttr default, base_models.py:153),
+                    # so orphans sort after assigned clusters by (t, l).
+                    "first_cell_index": _MAXIDX,
+                    "children": [],
+                }
+            )
+
+    prev_count = len(reg) + 1
+    for _ in range(3):
+        if prev_count == len(reg):
+            break
+        prev_count = len(reg)
+        moved = _adjust_bboxes(reg)
+        reg, merged = _remove_overlaps(reg, "regular", epsilon)
+        if not moved and not merged:
+            break
+
+    # --- special clusters (:477-548) ----------------------------------------
+    spec = [c for c in special if c["confidence"] >= CONFIDENCE_THRESHOLDS[c["label"]]]
+
+    # Cross-type suppression (:550-583): wrappers nearly identical to a
+    # *regular* TABLE are dropped. In this fork TABLE itself is special, so
+    # the condition can only fire if a remap ever produces a regular TABLE —
+    # kept for faithfulness.
+    drop: set[int] = set()
+    for w in spec:
+        if w["label"] not in WRAPPER_LABELS:
+            continue
+        for r in reg:
+            if r["label"] == TABLE and _ios(w, r) > 0.9 and (
+                w["confidence"] - r["confidence"] < 0.1
+            ):
+                drop.add(w["id"])
+                break
+    spec = [c for c in spec if c["id"] not in drop]
+
+    page_area = page_width * page_height
+    if page_area > 0:
+        spec = [
+            c
+            for c in spec
+            if not (c["label"] == PICTURE and _area(c) / page_area > 0.90)
+        ]
+
+    for sp in spec:
+        contained = [r for r in reg if _ios(r, sp) > 0.8]
+        if contained:
+            sp["children"] = _sort_clusters_id(contained)
+            if sp["label"] in (FORM, KEY_VALUE_REGION):
+                sp["l"] = min(c["l"] for c in contained)
+                sp["t"] = min(c["t"] for c in contained)
+                sp["r"] = max(c["r"] for c in contained)
+                sp["b"] = max(c["b"] for c in contained)
+            all_cells: list[dict] = []
+            for child in sp["children"]:
+                all_cells.extend(child["cells"])
+            sp["cells"] = _sort_cells(_dedup_cells(all_cells))
+
+    pictures = [c for c in spec if c["label"] == PICTURE]
+    pictures, _ = _remove_overlaps(pictures, "picture", epsilon)
+    wrappers = [c for c in spec if c["label"] in WRAPPER_LABELS]
+    wrappers, _ = _remove_overlaps(wrappers, "wrapper", epsilon)
+    spec = pictures + wrappers
+
+    # --- combine (:378-399) --------------------------------------------------
+    contained_ids = {child["id"] for sp in spec for child in sp["children"]}
+    reg = [c for c in reg if c["id"] not in contained_ids]
+
+    final = _sort_clusters_id(reg + spec)
+    for c in final:
+        c["cells"] = _sort_cells(c["cells"])
+        for child in c["children"]:
+            child["cells"] = _sort_cells(child["cells"])
+    return final

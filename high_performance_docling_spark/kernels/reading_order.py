@@ -1,0 +1,178 @@
+"""Rule-based reading order + caption/footnote attachment.
+
+The reference delegates reading order to docling-ibm-models'
+``ReadingOrderPredictor`` (rule-based; consumed at
+/root/reference/readingorder_model.py:355-371) which is not available in
+this environment. This module implements the classic recursive XY-cut
+algorithm (Nagy & Seth, 1984 — the standard public rule-based
+reading-order method for column layouts) plus docling-style
+caption/footnote attachment, as a deterministic document-local kernel.
+
+Inputs are page elements in TOP-LEFT-origin coordinates; the reference's
+bottom-left flip (readingorder_model.py:56) is unnecessary because we fix
+a single TOP-LEFT convention at ingest (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from ..labels import CAPTION, FOOTNOTE, PICTURE, TABLE, DOCUMENT_INDEX, CODE
+
+# Elements that can own captions/footnotes (docling attaches captions to
+# tables, pictures and code blocks).
+_CAPTION_PARENTS = {TABLE, DOCUMENT_INDEX, PICTURE, CODE}
+# Max vertical gap (pt) between a caption/footnote and its parent.
+_ATTACH_GAP = 12.0
+# Minimum gap (pt) treated as a real cut line by XY-cut.
+_MIN_CUT_GAP = 0.5
+
+
+def _best_gap(intervals: list[tuple[float, float]], min_gap: float):
+    """Widest whitespace gap separating the intervals into two non-empty
+    groups. Returns (gap_width, cut_position) or None."""
+    order = sorted(range(len(intervals)), key=lambda i: (intervals[i][0], intervals[i][1]))
+    best = None
+    cur_end = None
+    for i in order:
+        lo, hi = intervals[i]
+        if cur_end is not None:
+            gap = lo - cur_end
+            if gap > min_gap and (best is None or gap > best[0]):
+                best = (gap, cur_end + gap / 2.0)
+        cur_end = hi if cur_end is None else max(cur_end, hi)
+    return best
+
+
+def _xy_cut(boxes: list[tuple[float, float, float, float]], ids: list[int]) -> list[int]:
+    """Recursive XY-cut (Nagy & Seth): binary-split at the single widest
+    whitespace gap — horizontal (reads top band first) or vertical (reads
+    left column first), whichever gap is wider (horizontal wins ties, so
+    full-width headers/footers separate before columns). Leaves sort by
+    (t, l)."""
+    if len(ids) <= 1:
+        return list(ids)
+    h = _best_gap([(b[1], b[3]) for b in boxes], _MIN_CUT_GAP)
+    v = _best_gap([(b[0], b[2]) for b in boxes], _MIN_CUT_GAP)
+    if h is not None and (v is None or h[0] >= v[0]):
+        axis, cut = 1, h[1]
+    elif v is not None:
+        axis, cut = 0, v[1]
+    else:
+        order = sorted(range(len(ids)), key=lambda i: (boxes[i][1], boxes[i][0]))
+        return [ids[i] for i in order]
+    first = [i for i in range(len(ids)) if boxes[i][axis] < cut]
+    second = [i for i in range(len(ids)) if boxes[i][axis] >= cut]
+    return _xy_cut([boxes[i] for i in first], [ids[i] for i in first]) + _xy_cut(
+        [boxes[i] for i in second], [ids[i] for i in second]
+    )
+
+
+def predict_reading_order(elements: list[dict[str, Any]]) -> list[int]:
+    """Order elements into reading sequence.
+
+    ``elements``: dicts with cid:int, page_no:int, l,t,r,b:float, label:str.
+    Returns the list of cids in reading order: pages ascending, XY-cut
+    within each page.
+    """
+    by_page: dict[int, list[dict]] = {}
+    for el in elements:
+        by_page.setdefault(int(el["page_no"]), []).append(el)
+    ordered: list[int] = []
+    for page_no in sorted(by_page):
+        els = by_page[page_no]
+        boxes = [(e["l"], e["t"], e["r"], e["b"]) for e in els]
+        cids = [e["cid"] for e in els]
+        ordered.extend(_xy_cut(boxes, cids))
+    return ordered
+
+
+def _x_overlap(a: dict, b: dict) -> float:
+    return min(a["r"], b["r"]) - max(a["l"], b["l"])
+
+
+def _attach(
+    elements_by_cid: dict[int, dict],
+    ordered_cids: list[int],
+    child_label: str,
+) -> dict[int, list[int]]:
+    """Map parent cid → [child cids] for caption/footnote attachment.
+
+    A child attaches to the vertically nearest parent (label in
+    _CAPTION_PARENTS) on the same page whose horizontal span overlaps at
+    least half of the narrower box, within _ATTACH_GAP pt above or below.
+    Below-parent wins ties; then earlier reading order.
+    """
+    parents = [
+        elements_by_cid[cid]
+        for cid in ordered_cids
+        if elements_by_cid[cid]["label"] in _CAPTION_PARENTS
+    ]
+    mapping: dict[int, list[int]] = {}
+    for cid in ordered_cids:
+        el = elements_by_cid[cid]
+        if el["label"] != child_label:
+            continue
+        best = None  # (gap, prefer_above_flag, parent_pos)
+        for pos, p in enumerate(parents):
+            if p["page_no"] != el["page_no"]:
+                continue
+            ov = _x_overlap(el, p)
+            min_w = min(el["r"] - el["l"], p["r"] - p["l"])
+            if min_w <= 0 or ov < 0.5 * min_w:
+                continue
+            gap_below = el["t"] - p["b"]  # child below parent
+            gap_above = p["t"] - el["b"]  # child above parent
+            for gap, above in ((gap_below, 0), (gap_above, 1)):
+                if -1e-6 <= gap <= _ATTACH_GAP:
+                    key = (gap, above, pos)
+                    if best is None or key < best[0]:
+                        best = (key, p["cid"])
+        if best is not None:
+            mapping.setdefault(best[1], []).append(cid)
+    return mapping
+
+
+def assemble_spans(elements: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """Full document assembly: reading order + attachment → ordered spans.
+
+    ``elements``: dicts with cid, page_no, l,t,r,b, label, text, media_ref,
+    children (list of dicts with label, text). Returns spans
+    [{kind, text, media_ref, order}] — the engine's output contract
+    (BASELINE.json input_hint; reference analogue:
+    readingorder_model.py:106-277 document build + markdown export order).
+    """
+    by_cid = {el["cid"]: el for el in elements}
+    ordered = predict_reading_order(elements)
+    captions = _attach(by_cid, ordered, CAPTION)
+    footnotes = _attach(by_cid, ordered, FOOTNOTE)
+    skippable = {c for lst in captions.values() for c in lst} | {
+        c for lst in footnotes.values() for c in lst
+    }
+
+    spans: list[dict[str, Any]] = []
+
+    def emit(kind: str, text: str, media_ref: str) -> None:
+        spans.append(
+            {
+                "kind": kind,
+                "text": text,
+                "media_ref": media_ref,
+                "order": len(spans),
+            }
+        )
+
+    for cid in ordered:
+        if cid in skippable:
+            continue
+        el = by_cid[cid]
+        emit(el["label"], el.get("text") or "", el.get("media_ref") or "")
+        for child in el.get("children") or []:
+            emit(child["label"], child.get("text") or "", child.get("media_ref") or "")
+        for cap_cid in captions.get(cid, ()):  # captions then footnotes
+            cap = by_cid[cap_cid]
+            emit(cap["label"], cap.get("text") or "", cap.get("media_ref") or "")
+        for fn_cid in footnotes.get(cid, ()):
+            fn = by_cid[fn_cid]
+            emit(fn["label"], fn.get("text") or "", fn.get("media_ref") or "")
+    return spans

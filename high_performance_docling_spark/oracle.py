@@ -1,0 +1,33 @@
+"""Serial reference-faithful pipeline (the "golden oracle").
+
+Runs the exact same kernels as the Spark stages, eagerly and in-process,
+one document at a time — mirroring the reference's single-process flow
+(/root/reference/main.py:53-93: preprocess → layout → postprocess →
+assemble → reading order). pytest asserts Spark output == this oracle
+exactly (FIXTURES.md §5), so the Spark plumbing (Arrow schemas,
+partitioning, shuffles, checkpoints) is what the equality tests exercise.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from .corpus import GenConfig, synth_detections, typeset
+from .kernels.assemble import assemble_page_elements
+from .kernels.layout_postprocess import postprocess_page
+from .kernels.reading_order import assemble_spans
+
+
+def extract_doc_spans(
+    doc_id: str, spans: list[dict[str, Any]], cfg: GenConfig
+) -> list[dict[str, Any]]:
+    """docs-row → ordered output spans [(kind, text, media_ref, order)]."""
+    pages = typeset(doc_id, spans, cfg)
+    elements: list[dict[str, Any]] = []
+    for page in pages:
+        dets = synth_detections(doc_id, page, cfg)
+        clusters = postprocess_page(page.width, page.height, page.cells, dets)
+        elements.extend(assemble_page_elements(doc_id, page.page_no, clusters))
+    for cid, el in enumerate(elements):  # global cids (readingorder_model.py:61)
+        el["cid"] = cid
+    return assemble_spans(elements)

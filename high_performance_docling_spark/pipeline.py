@@ -1,0 +1,130 @@
+"""End-to-end extraction pipeline: docs → ordered spans.
+
+Wires the stages (operators/stages.py) with:
+  - optional parquet stage checkpoints keyed by (doc_id[, page_no]) — a
+    restarted job anti-joins completed keys and only processes the
+    remainder (north rule resumability; reference analogue: the phase
+    boundaries at main.py:53-80),
+  - per-partition lineage rows,
+  - skew handling: repartition the page table by hash(doc_id, page_no)
+    right after the document→page explode so mega-docs spread across the
+    cluster (SURVEY.md §4 "skew handling").
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .corpus import GenConfig, generate_doc
+from .operators.stages import doc_assemble_stage, layout_stage, parse_stage
+from .schemas import DOCS_SCHEMA
+
+
+def get_spark(
+    app: str = "hpd-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.cpu_count() or 8
+    builder = (
+        SparkSession.builder.appName(app)
+        .master(master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', cpus)}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def docs_dataframe(
+    spark: SparkSession, cfg: GenConfig, num_partitions: int | None = None
+) -> DataFrame:
+    """Synthesize the input corpus as a DataFrame (S0). Generation happens
+    distributed: one Arrow batch of doc indices in, docs rows out."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [generate_doc(cfg, int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    rng_df = spark.range(cfg.n_docs, numPartitions=num_partitions or 32)
+    return rng_df.mapInPandas(gen, DOCS_SCHEMA)
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    # local-FS checkpoint dirs in the sandbox; on a cluster swap for the
+    # Hadoop FS API / Iceberg table existence check.
+    return os.path.exists(path)
+
+
+def _checkpoint_stage(
+    spark: SparkSession,
+    input_df: DataFrame,
+    stage_fn,
+    path: str,
+    input_keys: list[str],
+) -> DataFrame:
+    """Run stage_fn over only the not-yet-completed input rows, append to
+    the stage's parquet checkpoint, return the full checkpointed output.
+
+    Resume semantics: completed keys are anti-joined from the INPUT before
+    the stage runs, so a restarted job never reprocesses finished
+    partitions (north rule).
+    """
+    if _path_exists(spark, path):
+        done_keys = spark.read.parquet(path).select(*input_keys).distinct()
+        todo = input_df.join(F.broadcast(done_keys), input_keys, "left_anti")
+        out = stage_fn(todo)
+        if out.limit(1).count() > 0:
+            out.write.mode("append").parquet(path)
+    else:
+        stage_fn(input_df).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def extract_spans(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    cfg: GenConfig,
+    checkpoint_dir: str | None = None,
+    lineage_dir: str | None = None,
+    page_partitions: int | None = None,
+) -> DataFrame:
+    """Full S0→S7 pipeline. Lazy when checkpoint_dir is None (one shuffle:
+    the final groupBy(doc_id)); with checkpoint_dir set, each stage output
+    is a resumable parquet table."""
+    if checkpoint_dir is None:
+        pages = parse_stage(docs_df, cfg, lineage_dir)
+        if page_partitions:
+            # spread mega-doc pages across the cluster (skew)
+            pages = pages.repartition(page_partitions, "doc_id", "page_no")
+        elements = layout_stage(pages, cfg, lineage_dir)
+        return doc_assemble_stage(elements, lineage_dir)
+
+    pages = _checkpoint_stage(
+        spark,
+        docs_df,
+        lambda df: parse_stage(df, cfg, lineage_dir),
+        os.path.join(checkpoint_dir, "pages"),
+        ["doc_id"],
+    )
+    if page_partitions:
+        pages = pages.repartition(page_partitions, "doc_id", "page_no")
+    elements = _checkpoint_stage(
+        spark,
+        pages,
+        lambda df: layout_stage(df, cfg, lineage_dir),
+        os.path.join(checkpoint_dir, "elements"),
+        ["doc_id", "page_no"],
+    )
+    return doc_assemble_stage(elements, lineage_dir)

@@ -1,0 +1,119 @@
+"""Spark schemas for every stage boundary (SURVEY.md §1).
+
+Fixed, declared schemas throughout — the reference declares its shapes via
+pydantic (base_models.py); we declare them as StructTypes. No inference.
+Geometry is float64 (Arrow default), ids are int64/int32, labels are
+strings (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# S0 — input corpus row (BASELINE.json input_hint).
+SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("offset", T.IntegerType(), False),
+    ]
+)
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(SPAN_STRUCT), False),
+    ]
+)
+
+# S1 — page grain (reference Page/TextCell: base_models.py:256-335).
+CELL_STRUCT = T.StructType(
+    [
+        T.StructField("index", T.LongType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("l", T.DoubleType(), False),
+        T.StructField("t", T.DoubleType(), False),
+        T.StructField("r", T.DoubleType(), False),
+        T.StructField("b", T.DoubleType(), False),
+        T.StructField("from_ocr", T.BooleanType(), False),
+        T.StructField("confidence", T.DoubleType(), False),
+    ]
+)
+DETECTION_STRUCT = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("l", T.DoubleType(), False),
+        T.StructField("t", T.DoubleType(), False),
+        T.StructField("r", T.DoubleType(), False),
+        T.StructField("b", T.DoubleType(), False),
+        T.StructField("confidence", T.DoubleType(), False),
+    ]
+)
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("page_no", T.IntegerType(), False),
+        T.StructField("width", T.DoubleType(), False),
+        T.StructField("height", T.DoubleType(), False),
+        T.StructField("cells", T.ArrayType(CELL_STRUCT), False),
+        T.StructField("detections", T.ArrayType(DETECTION_STRUCT), False),
+    ]
+)
+
+# S3+S6 — assembled page elements (reference AssembledUnit per page,
+# base_models.py:243-246; children flattened one level, SURVEY.md §1.1).
+CHILD_STRUCT = T.StructType(
+    [
+        T.StructField("label", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+    ]
+)
+ELEMENT_STRUCT = T.StructType(
+    [
+        T.StructField("label", T.StringType(), False),
+        T.StructField("l", T.DoubleType(), False),
+        T.StructField("t", T.DoubleType(), False),
+        T.StructField("r", T.DoubleType(), False),
+        T.StructField("b", T.DoubleType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("children", T.ArrayType(CHILD_STRUCT), False),
+    ]
+)
+ELEMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("page_no", T.IntegerType(), False),
+        T.StructField("elements", T.ArrayType(ELEMENT_STRUCT), False),
+    ]
+)
+
+# S7 — output spans per document (the north-rule contract).
+OUT_SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("order", T.IntegerType(), False),
+    ]
+)
+SPANS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(OUT_SPAN_STRUCT), False),
+    ]
+)
+
+# Per-partition lineage rows (SURVEY.md §2.9: Spark analogue of the
+# reference's timer instrumentation, fork/timers.py:5-109).
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("input_rows", T.LongType(), False),
+        T.StructField("output_rows", T.LongType(), False),
+        T.StructField("wall_ms", T.DoubleType(), False),
+    ]
+)

@@ -1,0 +1,68 @@
+"""Serial (no-Spark) correctness: generator → oracle round-trip.
+
+For a noise-free corpus the extraction must reproduce the input spans
+exactly, with per-kind text transforms (sanitize/serialize). With noise
+on, the oracle must be deterministic and diverge from the input only via
+FORM wrapper insertions (the one planted noise kind that changes
+structure by design).
+"""
+
+from high_performance_docling_spark.corpus import GenConfig, generate_doc
+from high_performance_docling_spark.kernels.sanitize import cluster_text, sanitize_text
+from high_performance_docling_spark.oracle import extract_doc_spans
+import high_performance_docling_spark.labels as L
+
+
+def expected_span(s_in):
+    if s_in["kind"] == L.PICTURE:
+        return s_in["kind"], "", s_in["media_ref"]
+    if s_in["kind"] == L.TABLE:
+        return s_in["kind"], cluster_text(s_in["text"].split("\n")), ""
+    return s_in["kind"], sanitize_text(s_in["text"].split("\n")), ""
+
+
+def test_noise_free_roundtrip_exact():
+    cfg = GenConfig(seed=7, n_docs=20, noise=False)
+    for i in range(cfg.n_docs):
+        d = generate_doc(cfg, i)
+        out = extract_doc_spans(d["doc_id"], d["spans"], cfg)
+        assert len(out) == len(d["spans"]), d["doc_id"]
+        for s_in, s_out in zip(d["spans"], out):
+            kind, text, ref = expected_span(s_in)
+            assert (s_out["kind"], s_out["text"], s_out["media_ref"], s_out["order"]) == (
+                kind, text, ref, s_in["offset"]
+            ), (d["doc_id"], s_in["offset"])
+
+
+def test_noisy_extraction_deterministic_and_recovers():
+    cfg = GenConfig(seed=11, n_docs=20, noise=True)
+    for i in range(cfg.n_docs):
+        d = generate_doc(cfg, i)
+        out1 = extract_doc_spans(d["doc_id"], d["spans"], cfg)
+        out2 = extract_doc_spans(d["doc_id"], d["spans"], cfg)
+        assert out1 == out2
+        if not any(s["kind"] == L.FORM for s in out1):
+            assert len(out1) == len(d["spans"])
+            for s_in, s_out in zip(d["spans"], out1):
+                kind, text, ref = expected_span(s_in)
+                assert (s_out["kind"], s_out["text"], s_out["media_ref"]) == (
+                    kind, text, ref
+                )
+
+
+def test_generation_deterministic():
+    cfg = GenConfig(seed=42, n_docs=3)
+    assert [generate_doc(cfg, i) for i in range(3)] == [
+        generate_doc(cfg, i) for i in range(3)
+    ]
+
+
+def test_mega_docs_exist_for_skew():
+    cfg = GenConfig(seed=42, n_docs=60, mega_frac=0.1, mega_pages=20)
+    from high_performance_docling_spark.corpus import typeset
+
+    page_counts = []
+    for i in range(cfg.n_docs):
+        d = generate_doc(cfg, i)
+        page_counts.append(len(typeset(d["doc_id"], d["spans"], cfg)))
+    assert max(page_counts) >= 3 * (sorted(page_counts)[len(page_counts) // 2])

@@ -1,0 +1,173 @@
+"""Unit tests for the layout post-processing kernel
+(port of fork/layout/layout_postprocessor.py — see module docstring)."""
+
+from high_performance_docling_spark.kernels.layout_postprocess import (
+    _remove_overlaps,
+    _select_best,
+    postprocess_page,
+)
+from high_performance_docling_spark.labels import OVERLAP_PARAMS
+
+
+def cell(i, text, l, t, r, b, conf=1.0):
+    return {
+        "index": i, "text": text, "l": float(l), "t": float(t),
+        "r": float(r), "b": float(b), "from_ocr": False, "confidence": conf,
+    }
+
+
+def det(cid, label, l, t, r, b, conf):
+    return {
+        "id": cid, "label": label, "l": float(l), "t": float(t),
+        "r": float(r), "b": float(b), "confidence": conf,
+    }
+
+
+def clus(cid, label, l, t, r, b, conf, cells=()):
+    return {
+        "id": cid, "label": label, "l": float(l), "t": float(t),
+        "r": float(r), "b": float(b), "confidence": conf,
+        "cells": list(cells), "children": [], "first_cell_index": 10**18,
+    }
+
+
+PAGE = dict(page_width=612.0, page_height=792.0)
+
+
+def test_confidence_filter_drops_low_conf():
+    cells = [cell(0, "hello", 50, 50, 200, 60)]
+    dets = [
+        det(0, "text", 48, 48, 202, 62, 0.9),
+        det(1, "text", 300, 300, 400, 320, 0.3),  # below 0.5 threshold
+    ]
+    out = postprocess_page(612, 792, cells, dets)
+    assert [c["id"] for c in out] == [0]
+
+
+def test_title_remap():
+    cells = [cell(0, "Heading", 50, 50, 200, 60)]
+    out = postprocess_page(612, 792, cells, [det(0, "title", 48, 48, 202, 62, 0.8)])
+    assert out[0]["label"] == "section_header"
+
+
+def test_empty_cluster_dropped_formula_kept():
+    dets = [det(0, "text", 300, 300, 400, 320, 0.9),
+            det(1, "formula", 100, 500, 200, 520, 0.9)]
+    out = postprocess_page(612, 792, [], dets)
+    assert [c["label"] for c in out] == ["formula"]
+
+
+def test_orphan_cells_become_text_clusters():
+    cells = [cell(5, "orphan line", 50, 700, 300, 711)]
+    out = postprocess_page(612, 792, cells, [])
+    assert len(out) == 1
+    c = out[0]
+    assert c["label"] == "text" and c["id"] == 1
+    assert (c["l"], c["t"], c["r"], c["b"]) == (50, 700, 300, 711)
+    assert [x["index"] for x in c["cells"]] == [5]
+
+
+def test_cell_argmax_assignment_and_envelope_adjust():
+    cells = [cell(0, "a", 50, 50, 200, 61), cell(1, "b", 50, 64, 180, 75)]
+    # jittered outward box — envelope adjust must shrink to the cells
+    out = postprocess_page(612, 792, cells, [det(0, "text", 47, 46, 205, 78, 0.9)])
+    c = out[0]
+    assert [x["index"] for x in c["cells"]] == [0, 1]
+    assert (c["l"], c["t"], c["r"], c["b"]) == (50, 50, 200, 75)
+
+
+def test_full_page_picture_filtered():
+    out = postprocess_page(
+        612, 792, [], [det(0, "picture", 2, 2, 610, 790, 0.95)]
+    )
+    assert out == []
+
+
+def test_picture_duplicate_merged_keeps_larger():
+    dets = [
+        det(0, "picture", 100, 100, 300, 250, 0.8),
+        det(1, "picture", 102, 102, 298, 248, 0.7),
+    ]
+    out = postprocess_page(612, 792, [], dets)
+    assert len(out) == 1 and out[0]["id"] == 0
+
+
+def test_table_collects_orphan_children():
+    # table interior word cells have no regular detection: they orphan into
+    # singleton TEXT clusters, then become the TABLE's children
+    cells = [
+        cell(0, "w00", 110, 110, 150, 121), cell(1, "w01", 210, 110, 250, 121),
+        cell(2, "w10", 110, 130, 150, 141), cell(3, "w11", 210, 130, 250, 141),
+    ]
+    out = postprocess_page(612, 792, cells, [det(0, "table", 100, 100, 300, 150, 0.9)])
+    assert len(out) == 1
+    tb = out[0]
+    assert tb["label"] == "table"
+    assert [x["index"] for x in tb["cells"]] == [0, 1, 2, 3]
+    assert len(tb["children"]) == 4
+
+
+def test_form_wrapper_children_and_bbox():
+    cells = [cell(0, "line one", 50, 100, 250, 111), cell(1, "line two", 50, 130, 260, 141)]
+    dets = [
+        det(0, "text", 50, 100, 250, 111, 0.9),
+        det(1, "text", 50, 130, 260, 141, 0.9),
+        det(2, "form", 45, 95, 270, 146, 0.8),
+    ]
+    out = postprocess_page(612, 792, cells, dets)
+    assert len(out) == 1
+    form = out[0]
+    assert form["label"] == "form"
+    # FORM bbox tightens to the children envelope (:516-523)
+    assert (form["l"], form["t"], form["r"], form["b"]) == (50, 100, 260, 141)
+    assert [ch["id"] for ch in form["children"]] == [0, 1]
+    assert [x["index"] for x in form["cells"]] == [0, 1]
+
+
+def test_final_sort_first_cell_index_then_geometry():
+    cells = [
+        cell(0, "first", 50, 200, 200, 211),   # later on page but earlier index
+        cell(1, "second", 50, 100, 200, 111),
+    ]
+    dets = [
+        det(0, "text", 50, 100, 200, 111, 0.9),
+        det(1, "text", 50, 200, 200, 211, 0.9),
+    ]
+    out = postprocess_page(612, 792, cells, dets)
+    # cluster with cell index 0 sorts first despite lower position
+    assert [c["cells"][0]["index"] for c in out] == [0, 1]
+
+
+def test_select_best_list_item_survives_conf_rejection_via_rule1():
+    # LIST_ITEM with much lower confidence over a similar-area TEXT would be
+    # rejected by the fallback conf rule, but rule 1 (:592-599) keeps it;
+    # listed first, it then wins the group (larger area never displaces it).
+    b = clus(1, "list_item", 0, 0, 101, 100, 0.6)
+    a = clus(0, "text", 0, 0, 100, 100, 0.9)
+    best = _select_best([b, a], OVERLAP_PARAMS["regular"])
+    assert best["label"] == "list_item"
+
+
+def test_select_best_higher_conf_list_item_wins_any_order():
+    a = clus(0, "text", 0, 0, 100, 100, 0.6)
+    b = clus(1, "list_item", 0, 0, 101, 100, 0.9)
+    assert _select_best([a, b], OVERLAP_PARAMS["regular"])["label"] == "list_item"
+    assert _select_best([b, a], OVERLAP_PARAMS["regular"])["label"] == "list_item"
+
+
+def test_select_best_confidence_rule():
+    # similar areas, big confidence gap → higher confidence wins
+    a = clus(0, "text", 0, 0, 100, 100, 0.95)
+    b = clus(1, "text", 0, 0, 101, 100, 0.6)
+    best = _select_best([a, b], OVERLAP_PARAMS["regular"])
+    assert best["id"] == 0
+
+
+def test_remove_overlaps_merges_cells():
+    a = clus(0, "text", 0, 0, 100, 60, 0.9, [cell(0, "x", 1, 1, 99, 10)])
+    b = clus(1, "text", 0, 0, 100, 62, 0.9, [cell(1, "y", 1, 50, 99, 60)])
+    c = clus(2, "text", 300, 300, 400, 340, 0.9, [cell(2, "z", 301, 301, 399, 339)])
+    out, merged = _remove_overlaps([a, b, c], "regular", epsilon=1e-4)
+    assert merged and len(out) == 2
+    big = next(x for x in out if x["id"] in (0, 1))
+    assert [cc["index"] for cc in big["cells"]] == [0, 1]

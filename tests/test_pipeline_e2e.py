@@ -1,0 +1,67 @@
+"""Spark pipeline == serial oracle, span-for-span (FIXTURES.md §5), plus
+checkpoint/resume semantics."""
+
+import os
+
+from high_performance_docling_spark.corpus import GenConfig
+from high_performance_docling_spark.oracle import extract_doc_spans
+from high_performance_docling_spark.pipeline import (
+    docs_dataframe,
+    extract_spans,
+)
+
+CFG = GenConfig(seed=42, n_docs=24, noise=True)
+
+
+def _spans(rows):
+    return {r["doc_id"]: [s.asDict() for s in r["spans"]] for r in rows}
+
+
+def test_spark_matches_oracle_exactly(spark):
+    docs = docs_dataframe(spark, CFG, num_partitions=6)
+    got = _spans(extract_spans(spark, docs, CFG).collect())
+    inputs = _spans(docs.collect())
+    assert len(got) == CFG.n_docs
+    for doc_id, in_spans in inputs.items():
+        assert got[doc_id] == extract_doc_spans(doc_id, in_spans, CFG), doc_id
+
+
+def test_output_schema(spark):
+    docs = docs_dataframe(spark, GenConfig(seed=1, n_docs=2), num_partitions=1)
+    out = extract_spans(spark, docs, GenConfig(seed=1, n_docs=2))
+    assert [f.name for f in out.schema.fields] == ["doc_id", "spans"]
+    span_fields = out.schema["spans"].dataType.elementType.fieldNames()
+    assert span_fields == ["kind", "text", "media_ref", "order"]
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    cfg = GenConfig(seed=5, n_docs=8)
+    ckpt = str(tmp_path / "ckpt")
+    docs = docs_dataframe(spark, cfg, num_partitions=2)
+
+    out1 = _spans(extract_spans(spark, docs, cfg, checkpoint_dir=ckpt).collect())
+    assert os.path.exists(os.path.join(ckpt, "pages"))
+    assert os.path.exists(os.path.join(ckpt, "elements"))
+
+    # simulate a restart: resume must not reprocess completed keys and
+    # must produce identical output
+    out2 = _spans(extract_spans(spark, docs, cfg, checkpoint_dir=ckpt).collect())
+    assert out1 == out2
+
+    # partial checkpoint: drop half the docs from the pages checkpoint and
+    # verify only the missing ones are recomputed (by output completeness)
+    import shutil
+
+    shutil.rmtree(os.path.join(ckpt, "elements"))
+    out3 = _spans(extract_spans(spark, docs, cfg, checkpoint_dir=ckpt).collect())
+    assert out3 == out1
+
+
+def test_lineage_rows_written(spark, tmp_path):
+    cfg = GenConfig(seed=3, n_docs=4)
+    ldir = str(tmp_path / "lineage")
+    docs = docs_dataframe(spark, cfg, num_partitions=2)
+    extract_spans(spark, docs, cfg, lineage_dir=ldir).collect()
+    files = os.listdir(ldir)
+    assert any(f.startswith("parse") for f in files)
+    assert any(f.startswith("layout") for f in files)

@@ -1,0 +1,94 @@
+"""Unit tests for XY-cut reading order and caption/footnote attachment."""
+
+from high_performance_docling_spark.kernels.reading_order import (
+    assemble_spans,
+    predict_reading_order,
+)
+
+
+def el(cid, page, l, t, r, b, label="text", text="", media_ref="", children=None):
+    return {
+        "cid": cid, "page_no": page, "l": float(l), "t": float(t),
+        "r": float(r), "b": float(b), "label": label, "text": text,
+        "media_ref": media_ref, "children": children or [],
+    }
+
+
+def test_single_column_top_to_bottom():
+    els = [el(0, 0, 50, 300, 500, 340), el(1, 0, 50, 100, 500, 140),
+           el(2, 0, 50, 200, 500, 240)]
+    assert predict_reading_order(els) == [1, 2, 0]
+
+
+def test_two_columns_column_major():
+    # header strip, then two columns (left read fully before right), footer
+    els = [
+        el(0, 0, 50, 20, 560, 32, "page_header"),
+        el(1, 0, 50, 100, 290, 400),   # left col
+        el(2, 0, 50, 420, 290, 700),   # left col lower
+        el(3, 0, 320, 100, 560, 390),  # right col
+        el(4, 0, 320, 410, 560, 700),  # right col lower
+        el(5, 0, 50, 750, 560, 762, "page_footer"),
+    ]
+    assert predict_reading_order(els) == [0, 1, 2, 3, 4, 5]
+
+
+def test_pages_ordered_before_layout():
+    els = [el(0, 1, 50, 10, 100, 20), el(1, 0, 50, 700, 100, 710)]
+    assert predict_reading_order(els) == [1, 0]
+
+
+def test_caption_below_table_attaches():
+    els = [
+        el(0, 0, 50, 100, 500, 200, "table", "t"),
+        el(1, 0, 50, 204, 500, 215, "caption", "cap"),
+        el(2, 0, 50, 260, 500, 300, "text", "after"),
+    ]
+    spans = assemble_spans(els)
+    assert [(s["kind"], s["order"]) for s in spans] == [
+        ("table", 0), ("caption", 1), ("text", 2)
+    ]
+
+
+def test_caption_above_picture_emitted_after_parent():
+    els = [
+        el(0, 0, 50, 96, 500, 107, "caption", "cap"),
+        el(1, 0, 50, 111, 500, 300, "picture", "", "img:abc"),
+    ]
+    spans = assemble_spans(els)
+    assert [s["kind"] for s in spans] == ["picture", "caption"]
+    assert spans[0]["media_ref"] == "img:abc"
+
+
+def test_caption_far_away_stays_standalone():
+    els = [
+        el(0, 0, 50, 100, 500, 200, "table", "t"),
+        el(1, 0, 50, 260, 500, 271, "caption", "cap"),  # gap 60 > 12
+    ]
+    spans = assemble_spans(els)
+    assert [s["kind"] for s in spans] == ["table", "caption"]
+    assert spans[1]["order"] == 1
+
+
+def test_footnote_attaches_to_table():
+    els = [
+        el(0, 0, 50, 100, 500, 200, "table", "t"),
+        el(1, 0, 50, 204, 500, 215, "footnote", "fn"),
+    ]
+    spans = assemble_spans(els)
+    assert [s["kind"] for s in spans] == ["table", "footnote"]
+
+
+def test_container_children_emitted_inline():
+    els = [
+        el(0, 0, 50, 100, 500, 200, "form", "", children=[
+            {"label": "text", "text": "k1", "media_ref": ""},
+            {"label": "text", "text": "v1", "media_ref": ""},
+        ]),
+        el(1, 0, 50, 230, 500, 260, "text", "after"),
+    ]
+    spans = assemble_spans(els)
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("form", ""), ("text", "k1"), ("text", "v1"), ("text", "after")
+    ]
+    assert [s["order"] for s in spans] == [0, 1, 2, 3]
