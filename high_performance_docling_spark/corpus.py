@@ -142,9 +142,20 @@ def gen_doc_spans(cfg: GenConfig, doc_index: int) -> list[dict[str, Any]]:
         elif roll < 0.68:
             add(L.LIST_ITEM, "\n".join(_make_lines(rng, rng.randint(1, 2), (3, 7))))
         elif roll < 0.76:  # table (+ optional caption/footnote)
+            # encoding: rows joined by \n, cells by \t; a row with fewer
+            # cells than the widest row means its FIRST cell spans the
+            # missing columns (exercises OTSL lcel span derivation)
             nr, nc = rng.randint(2, 4), rng.randint(2, 4)
-            grid = [[rng.choice(VOCAB) for _ in range(nc)] for _ in range(nr)]
-            add(L.TABLE, "\n".join(w for row in grid for w in row))
+            rows = []
+            merged = rng.random() < 0.3
+            for r in range(nr):
+                if r == 0 and merged and nc >= 2:
+                    span = rng.randint(2, nc)
+                    cells = [rng.choice(VOCAB) for _ in range(nc - span + 1)]
+                else:
+                    cells = [rng.choice(VOCAB) for _ in range(nc)]
+                rows.append("\t".join(cells))
+            add(L.TABLE, "\n".join(rows))
             if rng.random() < 0.6:
                 add(L.CAPTION, " ".join(_words(rng, rng.randint(3, 7))))
             if rng.random() < 0.25:
@@ -229,9 +240,7 @@ def typeset(doc_id: str, spans: list[dict[str, Any]], cfg: GenConfig) -> list[Ty
         for k, ix in enumerate(group):
             sp = spans[ix]
             if sp["kind"] == L.TABLE:
-                n_cells = len(sp["text"].split("\n"))
-                n_rows = max(1, round(n_cells ** 0.5))
-                h += n_rows * 16.0 + 8.0
+                h += len(sp["text"].split("\n")) * 16.0 + 8.0
             elif sp["kind"] == L.PICTURE:
                 h += 90.0
             else:
@@ -252,28 +261,33 @@ def typeset(doc_id: str, spans: list[dict[str, Any]], cfg: GenConfig) -> list[Ty
                 page.elements.append(el)
                 y += h
             elif kind == L.TABLE:
-                words = sp["text"].split("\n")
-                n = len(words)
-                n_rows = max(1, round(n ** 0.5))
-                n_cols = (n + n_rows - 1) // n_rows
+                grid_rows = [r.split("\t") for r in sp["text"].split("\n")]
+                n_rows = len(grid_rows)
+                n_cols = max(len(r) for r in grid_rows)
                 cw, rh = col_w / n_cols, 16.0
                 el = TypesetElement(ix, kind, page.page_no, x0, y,
                                     x0 + col_w, y + n_rows * rh + 8.0)
-                for m, wtext in enumerate(words):
-                    rr, cc = divmod(m, n_cols)
-                    cl = x0 + cc * cw + 3.0
-                    ct = y + 4.0 + rr * rh
-                    cell = {
-                        "index": len(page.cells),
-                        "text": wtext,
-                        "l": cl, "t": ct,
-                        "r": cl + max(10.0, min(cw - 6.0, 5.4 * len(wtext))),
-                        "b": ct + LINE_H,
-                        "from_ocr": False, "confidence": 1.0,
-                    }
-                    page.cells.append(cell)
-                    el.cell_ixs.append(cell["index"])
-                el.lines = words
+                for rr, row_cells in enumerate(grid_rows):
+                    span_first = n_cols - len(row_cells) + 1
+                    cc = 0
+                    for j, wtext in enumerate(row_cells):
+                        span = span_first if j == 0 else 1
+                        cl = x0 + cc * cw + 3.0
+                        ct = y + 4.0 + rr * rh
+                        if span > 1:
+                            cr = cl + span * cw - 6.0  # wide token → lcel span
+                        else:
+                            cr = cl + max(10.0, min(cw - 6.0, 5.4 * len(wtext)))
+                        cell = {
+                            "index": len(page.cells),
+                            "text": wtext,
+                            "l": cl, "t": ct, "r": cr, "b": ct + LINE_H,
+                            "from_ocr": False, "confidence": 1.0,
+                        }
+                        page.cells.append(cell)
+                        el.cell_ixs.append(cell["index"])
+                        cc += span
+                el.lines = [w for r in grid_rows for w in r]
                 page.elements.append(el)
                 y = el.b
             else:  # text-like: one cell per line

@@ -285,6 +285,357 @@ ORDER BY user_id, session_id
 
 
 # --------------------------------------------------------------------------
+# relational geometry (SURVEY.md §2.3/2.4/2.5 relational formulations)
+# --------------------------------------------------------------------------
+
+from .operators import relational_geometry as RG  # noqa: E402
+from .operators import dedup as DD  # noqa: E402
+from .operators import similarity as SIM  # noqa: E402
+from .operators import text_analysis as TA  # noqa: E402
+
+_GEO_CTE = f"WITH cells AS ({RG.CELLS_SQL}), clusters AS ({RG.CLUSTERS_SQL})"
+
+ORACLE_GEO_ARGMAX = _GEO_CTE + """
+, pairs AS (
+  SELECT c.cell_id, k.cluster_id,
+         round(greatest(least(c.r, k.r) - greatest(c.l, k.l), 0)
+             * greatest(least(c.b, k.b) - greatest(c.t, k.t), 0)
+             / ((c.r - c.l) * (c.b - c.t)), 6) AS ios
+  FROM cells c JOIN clusters k ON c.page = k.page
+)
+SELECT cell_id, cluster_id, ios FROM (
+  SELECT *, row_number() OVER (PARTITION BY cell_id
+                               ORDER BY ios DESC, cluster_id ASC) AS rk
+  FROM pairs WHERE ios > 0.2
+) WHERE rk = 1
+"""
+
+ORACLE_GEO_ENVELOPE = _GEO_CTE + """
+, pairs AS (
+  SELECT c.cell_id, k.cluster_id, c.l, c.t, c.r, c.b,
+         round(greatest(least(c.r, k.r) - greatest(c.l, k.l), 0)
+             * greatest(least(c.b, k.b) - greatest(c.t, k.t), 0)
+             / ((c.r - c.l) * (c.b - c.t)), 6) AS ios
+  FROM cells c JOIN clusters k ON c.page = k.page
+),
+assigned AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY cell_id
+                                 ORDER BY ios DESC, cluster_id ASC) AS rk
+    FROM pairs WHERE ios > 0.2
+  ) WHERE rk = 1
+)
+SELECT cluster_id, min(l) AS env_l, min(t) AS env_t,
+       max(r) AS env_r, max(b) AS env_b, count(*) AS n_cells
+FROM assigned GROUP BY cluster_id
+"""
+
+ORACLE_GEO_CONTAINMENT = _GEO_CTE + """
+SELECT c.cluster_id AS child_id, k.cluster_id AS parent_id,
+       round(greatest(least(c.r, k.r) - greatest(c.l, k.l), 0)
+           * greatest(least(c.b, k.b) - greatest(c.t, k.t), 0)
+           / ((c.r - c.l) * (c.b - c.t)), 6) AS ios
+FROM clusters c JOIN clusters k
+  ON c.page = k.page AND c.cluster_id != k.cluster_id
+WHERE greatest(least(c.r, k.r) - greatest(c.l, k.l), 0)
+    * greatest(least(c.b, k.b) - greatest(c.t, k.t), 0)
+    / ((c.r - c.l) * (c.b - c.t)) > 0.8
+"""
+
+ORACLE_GEO_READING_ORDER = _GEO_CTE + """
+SELECT page, cluster_id,
+       row_number() OVER (PARTITION BY page ORDER BY t, l, cluster_id)
+         AS reading_rank
+FROM clusters
+"""
+
+ORACLE_GEO_COMPACTION = _GEO_CTE + """
+SELECT page, cell_id,
+       dense_rank() OVER (PARTITION BY page ORDER BY t) - 1 AS row_idx,
+       dense_rank() OVER (PARTITION BY page ORDER BY l) - 1 AS col_idx
+FROM cells
+"""
+
+ORACLE_GEO_ALIGNMENT = _GEO_CTE + """
+, agg AS (
+  SELECT page, l AS col_band,
+         max(l) - min(l) AS d_left,
+         max((l + r) / 2) - min((l + r) / 2) AS d_mid,
+         max(r) - min(r) AS d_right,
+         count(*) AS n
+  FROM cells GROUP BY page, l
+)
+SELECT page, col_band, n,
+       CASE WHEN d_left = least(d_left, d_mid, d_right) THEN 'left'
+            WHEN d_mid  = least(d_left, d_mid, d_right) THEN 'middle'
+            ELSE 'right' END AS alignment
+FROM agg
+"""
+
+
+def q_geo_argmax(spark, sf_dir):
+    return RG.cell_cluster_argmax_join(spark, sf_dir)
+
+
+def q_geo_envelope(spark, sf_dir):
+    return RG.cluster_envelope_agg(spark, sf_dir)
+
+
+def q_geo_containment(spark, sf_dir):
+    return RG.containment_join(spark, sf_dir)
+
+
+def q_geo_reading_order(spark, sf_dir):
+    return RG.reading_order_rank(spark, sf_dir)
+
+
+def q_geo_compaction(spark, sf_dir):
+    return RG.row_col_compaction(spark, sf_dir)
+
+
+def q_geo_alignment(spark, sf_dir):
+    return RG.column_alignment_vote(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# dedup suite (documents)
+# --------------------------------------------------------------------------
+
+_SHINGLES_CTE = r"""
+WITH toks_t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 3
+                  THEN list_filter(
+                         list_transform(toks, (x, i) ->
+                           CASE WHEN i <= len(toks) - 2
+                                THEN concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                           END),
+                         s -> s IS NOT NULL)
+                  ELSE [array_to_string(toks, ' ')] END) AS sh
+    FROM toks_t
+  )
+)
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sh = DD.shingles(docs, n=3)
+    return DD.ngram_jaccard_pairs(sh, threshold=0.2).orderBy("a", "b")
+
+
+ORACLE_NGRAM_JACCARD = _SHINGLES_CTE + """
+, sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS nc
+  FROM sh x JOIN sh y USING (sh)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(nc / (sa.n + sb.n - nc), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE round(nc / (sa.n + sb.n - nc), 4) >= 0.2
+ORDER BY a, b
+"""
+
+
+def _mh_sql(i: int) -> str:
+    return f"min(('0x' || substr(md5('{i}:' || sh), 1, 14))::BIGINT) AS mh{i}"
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sig = DD.minhash_signatures(DD.shingles(docs, n=3), n_hashes=16)
+    return DD.lsh_candidate_pairs(sig, n_hashes=16, bands=4).orderBy("a", "b")
+
+
+ORACLE_MINHASH_LSH = (
+    _SHINGLES_CTE
+    + ", sig AS (SELECT doc_id, "
+    + ", ".join(_mh_sql(i) for i in range(16))
+    + " FROM sh GROUP BY doc_id),\nbanded AS (\n"
+    + "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('_', "
+        + ", ".join(f"mh{b * 4 + r}" for r in range(4))
+        + ")) AS sig FROM sig"
+        for b in range(4)
+    )
+    + """
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+ORDER BY a, b
+"""
+)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash(docs, bits=16).orderBy("doc_id")
+
+
+ORACLE_SIMHASH = (
+    r"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5('99:' || tok), 1, 14))::BIGINT AS h
+  FROM tk
+),
+bits AS (SELECT doc_id, """
+    + ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    + " FROM h GROUP BY doc_id)\nSELECT doc_id, ("
+    + " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))
+    + ")::BIGINT AS simhash FROM bits ORDER BY doc_id"
+)
+
+
+# --------------------------------------------------------------------------
+# text analysis (documents)
+# --------------------------------------------------------------------------
+
+def q_language_id(spark, sf_dir):
+    return TA.language_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+ORACLE_LANGUAGE_ID = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> x IN ('the','and','of','to','in','is')))    AS hits_en,
+    len(list_filter(toks, x -> x IN ('el','la','de','que','y','en')))      AS hits_es,
+    len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht'))) AS hits_de,
+    len(list_filter(toks, x -> x IN ('le','la','et','les','des','est')))   AS hits_fr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) <= 0 THEN 'und'
+       WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+       WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+       WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+       ELSE 'fr' END AS lang_pred,
+  hits_en, hits_es, hits_de, hits_fr
+FROM s ORDER BY doc_id
+"""
+
+
+def q_fingerprints(spark, sf_dir):
+    return TA.fingerprints(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+ORACLE_FINGERPRINTS = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+)
+SELECT doc_id, md5(text) AS content_md5,
+       (list_sum(list_transform(toks, (x, i) ->
+          (('0x' || substr(md5(x), 1, 12))::BIGINT * i) % 9007199254740881
+       )))::BIGINT % 9007199254740881 AS rolling_hash
+FROM t ORDER BY doc_id
+"""
+
+
+def q_token_profile(spark, sf_dir):
+    return TA.token_counts(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+ORACLE_TOKEN_PROFILE = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+       length(text) AS n_chars,
+       len(list_distinct(toks)) AS n_unique_tokens
+FROM t ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+_ANN_QUERY_IDS = list(range(10))
+
+
+def q_embedding_cosine_topk(spark, sf_dir):
+    return SIM.brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5
+    ).orderBy("query_id", "rk")
+
+
+ORACLE_EMBEDDING_COSINE_TOPK = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM base
+      WHERE vec_id IN ({", ".join(str(i) for i in _ANN_QUERY_IDS)})),
+scored AS (
+  SELECT qid AS query_id, vec_id AS nbr_id,
+         round(list_cosine_similarity(qv, v), 5) AS cosine
+  FROM base, q WHERE vec_id != qid
+)
+SELECT query_id, rk, nbr_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, nbr_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5 ORDER BY query_id, rk
+"""
+
+
+def q_embedding_lsh_ann(spark, sf_dir):
+    """Approximate NN via random-hyperplane LSH buckets (scale path; no
+    SQL oracle — checked by the recall test in tests/)."""
+    return SIM.lsh_topk(
+        _t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5, n_planes=4
+    ).orderBy("query_id", "rk")
+
+
+# --------------------------------------------------------------------------
+# events: tumbling-window aggregation (batch analogue of streaming windows)
+# --------------------------------------------------------------------------
+
+def q_windowed_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hour = F.floor(F.col("ts").cast("timestamp").cast("double") / 3600).cast("long")
+    return (
+        ev.groupBy(hour.alias("hour_bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
+ORACLE_WINDOWED_EVENTS = """
+SELECT floor(epoch(ts) / 3600)::BIGINT AS hour_bucket, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2 ORDER BY hour_bucket, event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -297,6 +648,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "sessionize_events": q_sessionize_events,
+    "geo_cell_cluster_argmax": q_geo_argmax,
+    "geo_cluster_envelope": q_geo_envelope,
+    "geo_containment_join": q_geo_containment,
+    "geo_reading_order_rank": q_geo_reading_order,
+    "geo_row_col_compaction": q_geo_compaction,
+    "geo_column_alignment_vote": q_geo_alignment,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "language_id": q_language_id,
+    "doc_fingerprints": q_fingerprints,
+    "token_profile": q_token_profile,
+    "embedding_cosine_topk": q_embedding_cosine_topk,
+    "embedding_lsh_ann": q_embedding_lsh_ann,
+    "windowed_events": q_windowed_events,
 }
 
 ORACLES: dict[str, str] = {
@@ -307,4 +673,18 @@ ORACLES: dict[str, str] = {
     "token_count": ORACLE_TOKEN_COUNT,
     "quality_score": ORACLE_QUALITY_SCORE,
     "sessionize_events": ORACLE_SESSIONIZE_EVENTS,
+    "geo_cell_cluster_argmax": ORACLE_GEO_ARGMAX,
+    "geo_cluster_envelope": ORACLE_GEO_ENVELOPE,
+    "geo_containment_join": ORACLE_GEO_CONTAINMENT,
+    "geo_reading_order_rank": ORACLE_GEO_READING_ORDER,
+    "geo_row_col_compaction": ORACLE_GEO_COMPACTION,
+    "geo_column_alignment_vote": ORACLE_GEO_ALIGNMENT,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
+    "dedup_simhash": ORACLE_SIMHASH,
+    "language_id": ORACLE_LANGUAGE_ID,
+    "doc_fingerprints": ORACLE_FINGERPRINTS,
+    "token_profile": ORACLE_TOKEN_PROFILE,
+    "embedding_cosine_topk": ORACLE_EMBEDDING_COSINE_TOPK,
+    "windowed_events": ORACLE_WINDOWED_EVENTS,
 }

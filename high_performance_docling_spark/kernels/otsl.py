@@ -1,0 +1,157 @@
+"""OTSL (Open Table Structure Language) sequence kernels.
+
+Ports of the reference's OTSL handling:
+  - squareness check              (fork/table/tf_predictor.py:50-84)
+  - table-cell construction from an OTSL walk
+                                  (fork/table/tf_cell_matcher.py:367-416)
+  - span derivation (the reference calls docling-ibm-models
+    ``otsl.html_to_otsl`` at tf_cell_matcher.py:263-268; reimplemented
+    here from OTSL grammar: lcel = left-merge, ucel = up-merge,
+    xcel = 2D-span interior)
+  - normalized-table-coords → page TOP-LEFT coords affine
+                                  (fork/table/tf_cell_matcher.py:419-442)
+
+Tag vocabulary: fcel (full cell), ecel (empty cell), ched (column
+header), rhed (row header), srow (section row), lcel / ucel / xcel
+(merges), nl (row break). Emitting tags (consume a bbox + get a cell_id):
+fcel ecel xcel ched rhed srow — note the reference treats xcel as
+emitting (tf_cell_matcher.py:381).
+"""
+
+from __future__ import annotations
+
+from itertools import groupby
+
+EMITTING_TAGS = ("fcel", "ecel", "xcel", "ched", "rhed", "srow")
+
+
+def otsl_square(rs_list: list[str]) -> bool:
+    """All OTSL rows equal length (tf_predictor.py:50-84)."""
+    rows = [list(g) for k, g in groupby(rs_list, lambda x: x == "nl") if not k]
+    if not rows:
+        return True
+    init_len = len(rows[0]) + 1
+    return all(len(r) + 1 == init_len for r in rows)
+
+
+def otsl_spans(otsl_seq: list[str]) -> dict[int, tuple[int, int]]:
+    """cell_id → (colspan, rowspan) for origin cells with span > 1.
+
+    Grid walk: each grid position records its origin cell_id; lcel joins
+    the cell to the left, ucel the cell above, xcel the up-left span
+    interior. Span = extent of the owned region.
+    """
+    # First pass: assign cell ids to emitting tags and owners per position.
+    grid: list[list[int]] = []  # grid[r][c] = origin cell_id (-1 unknown)
+    row: list[int] = []
+    cell_id = 0
+    for tag in otsl_seq:
+        if tag == "nl":
+            grid.append(row)
+            row = []
+            continue
+        r, c = len(grid), len(row)
+        if tag in ("lcel",):
+            owner = row[c - 1] if c > 0 else -1
+        elif tag in ("ucel",):
+            owner = grid[r - 1][c] if r > 0 and c < len(grid[r - 1]) else -1
+        elif tag == "xcel":
+            # interior of a 2D span: same origin as the cell above (== left);
+            # xcel still consumes a cell_id of its own (it's an emitting tag)
+            if r > 0 and c < len(grid[r - 1]):
+                owner = grid[r - 1][c]
+            elif c > 0:
+                owner = row[c - 1]
+            else:
+                owner = -1
+            cell_id += 1
+        else:  # emitting origin tags
+            owner = cell_id
+            cell_id += 1
+        row.append(owner)
+    if row:
+        grid.append(row)
+
+    # Extent of each origin's owned region.
+    extent: dict[int, list[int]] = {}  # origin -> [min_r, max_r, min_c, max_c]
+    for r, grow in enumerate(grid):
+        for c, owner in enumerate(grow):
+            if owner < 0:
+                continue
+            e = extent.setdefault(owner, [r, r, c, c])
+            e[0], e[1] = min(e[0], r), max(e[1], r)
+            e[2], e[3] = min(e[2], c), max(e[3], c)
+
+    spans: dict[int, tuple[int, int]] = {}
+    for owner, (r0, r1, c0, c1) in extent.items():
+        colspan, rowspan = c1 - c0 + 1, r1 - r0 + 1
+        if colspan > 1 or rowspan > 1:
+            spans[owner] = (colspan, rowspan)
+    return spans
+
+
+def build_table_cells(
+    otsl_seq: list[str],
+    bboxes_page: list[list[float]],
+    classes: list[int],
+) -> list[dict]:
+    """OTSL walk → table cell dicts (tf_cell_matcher.py:367-416).
+
+    Emitting tags consume sequential cell_ids and bboxes; every non-nl tag
+    advances column_id; nl advances row_id. Spans attach from otsl_spans.
+    """
+    spans = otsl_spans(otsl_seq)
+    table_cells: list[dict] = []
+    cell_id = 0
+    row_id = 0
+    column_id = 0
+    for tag in otsl_seq:
+        if tag == "nl":
+            row_id += 1
+            column_id = 0
+            continue
+        if tag in EMITTING_TAGS:
+            bbox = list(bboxes_page[cell_id]) if cell_id < len(bboxes_page) else [0.0] * 4
+            cell_class = classes[cell_id] if cell_id < len(classes) else 2
+            cell = {
+                "cell_id": cell_id,
+                "row_id": row_id,
+                "column_id": column_id,
+                "bbox": bbox,
+                "cell_class": int(cell_class),
+                "label": tag,
+            }
+            if cell_id in spans:
+                colspan, rowspan = spans[cell_id]
+                if colspan > 1:
+                    cell["colspan_val"] = colspan
+                if rowspan > 1:
+                    cell["rowspan_val"] = rowspan
+            table_cells.append(cell)
+            cell_id += 1
+        column_id += 1
+    return table_cells
+
+
+def translate_bboxes(
+    table_bbox: list[float], norm_bboxes: list[list[float]]
+) -> list[list[float]]:
+    """Normalized table-coords [x1,y1,x2,y2] → page TOP-LEFT coords.
+
+    Equivalent of tf_cell_matcher.py:419-442: the reference maps through a
+    bottom-left intermediate and flips back; net effect with TOP-LEFT page
+    coords is the plain affine below with y1/y2 swapped by the flip pair.
+    """
+    tl, tt, tr, tb = table_bbox
+    w, h = tr - tl, tb - tt
+    out = []
+    for x1, y1, x2, y2 in norm_bboxes:
+        # reference: page_bl = [tl + w*x1, tb - h*y1, tl + w*x2, tb - h*y2]
+        # then y_top = tt + (tb - page_bl_y)
+        out.append([
+            tl + w * x1,
+            tt + h * y1,
+            tl + w * x2,
+            tt + h * y2,
+        ])
+    return out

@@ -1,0 +1,219 @@
+"""Synthetic table-structure decoder + full S5 table pipeline driver.
+
+The reference's TableFormer (fork/table/tablemodel04_rs.py + transformer_rs
++ bbox_decoder_rs + batched_decoder) is a neural AR decoder emitting an
+OTSL tag sequence plus one normalized bbox per emitting tag. In this
+sandbox the neural stage is replaced by :func:`geometric_table_decode` —
+a deterministic geometric reconstruction (band-cluster the member tokens
+into rows/columns, emit fcel/ecel/ched/lcel/ucel accordingly) with the
+SAME output contract (otsl_seq, normalized bboxes, classes), so everything
+downstream (bbox translation, OTSL walk, IOPDF matching, the 9-step
+matching post-processor, response generation, grid merge, index
+compaction) is the real reference-faithful pipeline
+(fork/table/tf_predictor.py:632-926 flow).
+
+Batching: :func:`decode_tables_batch` accepts up to MAX_TABLE_BATCH work
+items per call, mirroring the reference's dynamic chunking
+(tablemodel04_rs.py:186-202) so a real model can slot in unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from .otsl import build_table_cells, translate_bboxes
+from .table_match import (
+    compact_row_col_indexes,
+    generate_tf_response,
+    iopdf_match,
+    matching_post_process,
+    merge_tf_output,
+)
+
+MAX_TABLE_BATCH = 128  # reference: tablemodel04_rs.py:187
+_BAND_TOL = 3.0  # pt tolerance when clustering token edges into bands
+
+
+def _bands(values: list[float], tol: float) -> list[float]:
+    """Cluster 1D positions into band representatives (sorted)."""
+    out: list[float] = []
+    for v in sorted(values):
+        if not out or v - out[-1] > tol:
+            out.append(v)
+    return out
+
+
+def geometric_table_decode(
+    table_bbox: list[float], tokens: list[dict[str, Any]]
+) -> tuple[list[str], list[list[float]], list[int]]:
+    """Reconstruct (otsl_seq, normalized bboxes, classes) from token
+    geometry. Row bands from token tops, column bands from token lefts;
+    a token spanning k column bands becomes fcel + (k-1) lcel; row 0 is
+    emitted as ched (column headers); empty grid slots become ecel."""
+    tl, tt, tr, tb = table_bbox
+    w = max(tr - tl, 1e-6)
+    h = max(tb - tt, 1e-6)
+    if not tokens:
+        return [], [], []
+
+    row_pos = _bands([t["bbox"][1] for t in tokens], _BAND_TOL)
+    col_pos = _bands([t["bbox"][0] for t in tokens], _BAND_TOL)
+
+    def row_of(t):
+        y = t["bbox"][1]
+        return max(i for i, p in enumerate(row_pos) if p <= y + _BAND_TOL)
+
+    def col_of(x):
+        return max(i for i, p in enumerate(col_pos) if p <= x + _BAND_TOL)
+
+    n_rows, n_cols = len(row_pos), len(col_pos)
+    grid: list[list[dict | None]] = [[None] * n_cols for _ in range(n_rows)]
+    span_origin: list[list[tuple[int, int] | None]] = [
+        [None] * n_cols for _ in range(n_rows)
+    ]
+    for t in tokens:
+        r = row_of(t)
+        c0 = col_of(t["bbox"][0])
+        # how many column bands does this token cover?
+        c1 = c0
+        for c in range(c0 + 1, n_cols):
+            if t["bbox"][2] > col_pos[c] + _BAND_TOL:
+                c1 = c
+        if grid[r][c0] is None:
+            grid[r][c0] = {"token": t, "c1": c1}
+            for c in range(c0, c1 + 1):
+                span_origin[r][c] = (r, c0)
+        else:
+            # multiple tokens in one slot: widen the slot's extent
+            grid[r][c0]["c1"] = max(grid[r][c0]["c1"], c1)
+
+    otsl: list[str] = []
+    bboxes: list[list[float]] = []
+    classes: list[int] = []
+
+    def norm(b):
+        return [
+            (b[0] - tl) / w,
+            (b[1] - tt) / h,
+            (b[2] - tl) / w,
+            (b[3] - tt) / h,
+        ]
+
+    for r in range(n_rows):
+        for c in range(n_cols):
+            origin = span_origin[r][c]
+            if origin is not None and origin != (r, c):
+                otsl.append("lcel")  # left-merge continuation
+                continue
+            slot = grid[r][c]
+            if slot is None:
+                otsl.append("ecel")
+                # empty slot bbox: the grid cell extent
+                x1 = col_pos[c]
+                x2 = col_pos[c + 1] if c + 1 < n_cols else tr
+                y1 = row_pos[r]
+                y2 = row_pos[r + 1] if r + 1 < n_rows else tb
+                bboxes.append(norm([x1, y1, x2, y2]))
+                classes.append(0)
+            else:
+                tag = "ched" if r == 0 and n_rows > 1 else "fcel"
+                otsl.append(tag)
+                bboxes.append(norm(slot["token"]["bbox"]))
+                classes.append(2)
+        otsl.append("nl")
+    return otsl, bboxes, classes
+
+
+def table_structure_for_tokens(
+    table_bbox: list[float], tokens: list[dict[str, Any]]
+) -> dict[str, Any] | None:
+    """Full S5 for one table: decode → build cells → match → post-process →
+    respond → merge → compact. Returns {"tf_cells", "num_rows",
+    "num_cols", "otsl_seq", "text"} or None when undecodable."""
+    if not tokens:
+        return None
+    otsl_seq, norm_bboxes, classes = geometric_table_decode(table_bbox, tokens)
+    if not otsl_seq:
+        return None
+    page_bboxes = translate_bboxes(table_bbox, norm_bboxes)
+    table_cells = build_table_cells(otsl_seq, page_bboxes, classes)
+    matches = iopdf_match(table_cells, tokens)
+    cells_out, final_matches = matching_post_process(table_cells, tokens, matches)
+    responses = generate_tf_response(cells_out, final_matches)
+    responses.sort(key=lambda item: item["cell_id"])  # tf_predictor.py:845
+    tf_cells = merge_tf_output(responses, tokens)
+    num_rows, num_cols = compact_row_col_indexes(tf_cells)
+    text = serialize_table_text(tf_cells)
+    return {
+        "tf_cells": tf_cells,
+        "num_rows": num_rows,
+        "num_cols": num_cols,
+        "otsl_seq": otsl_seq,
+        "text": text,
+    }
+
+
+def serialize_table_text(tf_cells: list[dict]) -> str:
+    """Row-major text serialization of the merged grid: cells ordered by
+    (start_row, start_col), each cell's matched tokens in match order."""
+    parts: list[str] = []
+    for cell in sorted(
+        tf_cells, key=lambda c: (c["start_row_offset_idx"], c["start_col_offset_idx"])
+    ):
+        toks = [t["token"] for t in cell["text_cell_bboxes"] if t["token"]]
+        if toks:
+            parts.append(" ".join(toks))
+    return " ".join(parts)
+
+
+def attach_table_structures(pages_clusters: list[list[dict]]) -> None:
+    """Run S5 for every table cluster across a batch of pages (mirrors the
+    reference's cross-table batching: tables from many pages share model
+    batches, table_structure_model.py:155-278 + tf_predictor
+    multi_table_predict). Mutates clusters in place: sets ``table_text``
+    and ``table_struct`` on decodable tables; undecodable ones fall back
+    to the assembly's sanitize-join (page_assemble_model.py:114-123
+    empty-Table fallback)."""
+    from ..labels import TABLE_LABELS
+
+    work: list[dict[str, Any]] = []
+    refs: list[dict] = []
+    for clusters in pages_clusters:
+        for cl in clusters:
+            if cl["label"] in TABLE_LABELS and cl["cells"]:
+                tokens = [
+                    {
+                        "id": c["index"],
+                        "text": c["text"],
+                        "bbox": [c["l"], c["t"], c["r"], c["b"]],
+                    }
+                    for c in cl["cells"]
+                ]
+                work.append(
+                    {
+                        "table_bbox": [cl["l"], cl["t"], cl["r"], cl["b"]],
+                        "tokens": tokens,
+                    }
+                )
+                refs.append(cl)
+    for cl, result in zip(refs, decode_tables_batch(work)):
+        if result is not None:
+            cl["table_text"] = result["text"]
+            cl["table_struct"] = {
+                "num_rows": result["num_rows"],
+                "num_cols": result["num_cols"],
+                "otsl_seq": result["otsl_seq"],
+            }
+
+
+def decode_tables_batch(work_items: list[dict[str, Any]]) -> list[dict[str, Any] | None]:
+    """Batched entry point (model-swap seam): processes work items in
+    chunks of MAX_TABLE_BATCH, mirroring the reference's dynamic chunking.
+    Each item: {"table_bbox": [...], "tokens": [...]}."""
+    out: list[dict[str, Any] | None] = []
+    for start in range(0, len(work_items), MAX_TABLE_BATCH):
+        chunk = work_items[start : start + MAX_TABLE_BATCH]
+        # a neural decoder would run ONE batched forward pass here
+        for item in chunk:
+            out.append(table_structure_for_tokens(item["table_bbox"], item["tokens"]))
+    return out

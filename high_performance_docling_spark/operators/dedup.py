@@ -1,0 +1,150 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame-API (JVM-side, no Python UDFs) so they
+scale to 100 TB: the only shuffles are the hash-key groupBys / joins, and
+every hash is computed from md5 (portable across engines so DuckDB can
+oracle the exact values).
+
+Operators:
+  - exact_duplicates: hash-groupBy on normalized text.
+  - shingle / minhash_signatures / lsh_candidate_pairs: MinHash+LSH
+    near-dup (shingle → k hash functions → min per function → band →
+    bucket join).
+  - ngram_jaccard_pairs: exact Jaccard over shingle sets via a
+    shingle-equijoin (the verify step behind LSH candidates).
+  - simhash: 16-bit SimHash fingerprint from token hashes.
+
+Scale notes: shingle explode multiplies rows by ~tokens-per-doc — at
+100 TB the shingle join is the dominant shuffle, so pairs are restricted
+to (a, b) with a < b and shingle buckets are salted by the hash itself
+(uniform md5 keys → no skew). LSH bands reduce the candidate space from
+O(N²) to near-linear before the exact verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# 56-bit portable hash: Spark conv(substring(md5(x),1,14),16,10)
+# == DuckDB ('0x' || substr(md5(x),1,14))::BIGINT
+
+
+def _h56(col, seed: int):
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 14), 16, 10
+    ).cast("bigint")
+
+
+def tokens(df: DataFrame, text_col: str = "text"):
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    norm = F.md5(F.lower(F.trim(F.col(text_col))))
+    return (
+        df.select(norm.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (JVM-side arrays)."""
+    toks = tokens(df, text_col)
+    k = F.size(toks) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(grams)).alias("shingle"),
+    )
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = 16) -> DataFrame:
+    """doc_id → [min over shingles of h_i(shingle)] for i in 0..n-1."""
+    aggs = [F.min(_h56(F.col("shingle"), i)).alias(f"mh{i}") for i in range(n_hashes)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, n_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signature, bucket-join on (band_id, band_hash): docs
+    sharing any band are near-dup candidates. Returns distinct (a, b)."""
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("sig"))
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bh")
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.sig").alias("sig"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    sh: DataFrame, threshold: float = 0.5, round_to: int = 4
+) -> DataFrame:
+    """Exact Jaccard over distinct-shingle sets via shingle equi-join:
+    |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+                round_to,
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: per token a 56-bit hash; bit b of the
+    fingerprint is 1 when more tokens have bit b set than not."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(df, text_col)).alias("tok")
+    ).withColumn("h", _h56(F.col("tok"), 99))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bit_sums.select("doc_id", fp.cast("bigint").alias("simhash"))

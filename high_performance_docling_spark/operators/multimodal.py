@@ -1,0 +1,139 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns with a typed metadata struct —
+the Spark-side schema/partitioning/UDF plumbing is real and tested; the
+actual codec decode is STUBBED (this container has no image/audio libs):
+``decode_media_batch`` computes deterministic byte-level features in
+place of pixel decoding, and raises ``NotImplementedError`` for the real
+codec path so a production deployment plugs PIL/ffmpeg into one function.
+
+Reference analogue: figure crops as content-addressed refs
+(document_assembler.py:62-90) and image batches through model stages
+(fork/layout/gpu_preprocess.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("byte_mean", T.DoubleType(), False),
+        T.StructField("byte_entropy", T.DoubleType(), False),
+        T.StructField("frame_indexes", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+
+def synth_media(docs_df: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from the documents table: the
+    payload is sha256-stream bytes of the text (a stand-in for real
+    image/audio bytes), typed round-robin by doc_id."""
+    mt = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    payload = F.sha2(F.col("text").cast("binary"), 256).cast("binary")
+    meta = F.struct(
+        F.when(mt == "image", (F.col("doc_id") % 640 + 16).cast("int")).alias("width"),
+        F.when(mt == "image", (F.col("doc_id") % 480 + 16).cast("int")).alias("height"),
+        F.when(mt == "video", (F.col("doc_id") % 90 + 10).cast("int")).alias("n_frames"),
+        F.when(mt == "audio", F.lit(16000).cast("int")).alias("sample_rate"),
+    )
+    return docs_df.select(
+        F.col("doc_id").alias("media_id"),
+        mt.alias("media_type"),
+        payload.alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def _entropy(data: bytes) -> float:
+    import math
+
+    if not data:
+        return 0.0
+    counts: dict[int, int] = {}
+    for b in data:
+        counts[b] = counts.get(b, 0) + 1
+    n = len(data)
+    return round(-sum(c / n * math.log2(c / n) for c in counts.values()), 6)
+
+
+def decode_media_batch(df: DataFrame, real_codecs: bool = False) -> DataFrame:
+    """Vectorized 'decode / feature-extract / frame-sample' stage: one
+    Arrow batch of payloads in, one batch of features out. The real codec
+    path is intentionally unimplemented in this sandbox."""
+    if real_codecs:
+        raise NotImplementedError(
+            "real image/audio decode requires PIL/ffmpeg — not in this container"
+        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mtype, payload, meta in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"], pdf["meta"]
+            ):
+                data = bytes(payload)
+                n_frames = (meta or {}).get("n_frames") or 0
+                # frame sampling: every 10th frame, deterministic
+                frames = list(range(0, int(n_frames), 10)) if mtype == "video" else []
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "media_type": mtype,
+                        "n_bytes": len(data),
+                        "byte_mean": round(sum(data) / len(data), 6) if data else 0.0,
+                        "byte_entropy": _entropy(data),
+                        "frame_indexes": frames,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "n_bytes", "byte_mean",
+                    "byte_entropy", "frame_indexes",
+                ],
+            )
+
+    return df.mapInPandas(fn, FEATURES_SCHEMA)
+
+
+def content_address(df: DataFrame) -> DataFrame:
+    """Content-addressed media refs (the figure-crop media_ref pattern)."""
+    return df.select(
+        "media_id",
+        F.concat(F.lit("img:"), F.substring(F.sha2(F.col("payload"), 256), 1, 16)).alias(
+            "media_ref"
+        ),
+    )

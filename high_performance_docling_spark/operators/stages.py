@@ -31,10 +31,11 @@ from typing import Any
 
 import pandas as pd
 
-from ..corpus import GenConfig, synth_detections, typeset, TypesetPage
+from ..corpus import GenConfig, synth_detections, typeset
 from ..kernels.assemble import assemble_page_elements
 from ..kernels.layout_postprocess import postprocess_page
 from ..kernels.reading_order import assemble_spans
+from ..kernels.table_decode import attach_table_structures
 from ..schemas import ELEMENTS_SCHEMA, PAGES_SCHEMA, SPANS_OUT_SCHEMA
 
 
@@ -111,23 +112,31 @@ def parse_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None):
 # --------------------------------------------------------------------------
 
 def layout_stage(pages_df, cfg: GenConfig, lineage_dir: str | None = None):
-    """One row per page in, one row per page out: run the layout
-    post-processor (layout_postprocessor.py port) and page assembly
-    (page_assemble_model.py port) on each page. Narrow — no shuffle."""
+    """One row per page in, one row per page out: layout post-processing
+    (layout_postprocessor.py port), table-structure decoding batched
+    ACROSS the pages of each Arrow batch (mirrors the reference's ≤128
+    cross-page table batches, tablemodel04_rs.py:186-202), then page
+    assembly (page_assemble_model.py port). Narrow — no shuffle."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t0 = time.monotonic()
         n = 0
         for pdf in batches:
-            out_elements = []
-            for doc_id, page_no, width, height, cells, dets in zip(
-                pdf["doc_id"], pdf["page_no"], pdf["width"], pdf["height"],
-                pdf["cells"], pdf["detections"],
+            page_clusters: list[list[dict]] = []
+            for width, height, cells, dets in zip(
+                pdf["width"], pdf["height"], pdf["cells"], pdf["detections"]
             ):
                 n += 1
-                clusters = postprocess_page(
-                    float(width), float(height),
-                    [dict(c) for c in cells], [dict(d) for d in dets],
+                page_clusters.append(
+                    postprocess_page(
+                        float(width), float(height),
+                        [dict(c) for c in cells], [dict(d) for d in dets],
+                    )
                 )
+            attach_table_structures(page_clusters)
+            out_elements = []
+            for doc_id, page_no, clusters in zip(
+                pdf["doc_id"], pdf["page_no"], page_clusters
+            ):
                 els = assemble_page_elements(doc_id, int(page_no), clusters)
                 out_elements.append(
                     [
@@ -154,22 +163,122 @@ def layout_stage(pages_df, cfg: GenConfig, lineage_dir: str | None = None):
 
 
 # --------------------------------------------------------------------------
+# fused S1+S2+S3+S6: docs → page elements in ONE Python stage
+# --------------------------------------------------------------------------
+
+def convert_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None):
+    """Parse + layout + tables + page assembly fused into a single
+    mapInPandas stage (docs in, page-element rows out).
+
+    Why fused: chaining two mapInPandas transforms runs TWO Python workers
+    per task slot (the JVM pipes batches through both), which at local[C]
+    oversubscribes the machine ~3× and *inverts* scaling. One worker per
+    slot keeps the stage CPU-bound at exactly the configured parallelism,
+    and skips one full Arrow round-trip of the (heavy) cells column. The
+    unfused stages remain for the checkpointed/resumable path, where they
+    materialize to parquet anyway.
+    """
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t0 = time.monotonic()
+        n_in = n_out = 0
+        for pdf in batches:
+            page_meta: list[tuple[str, int]] = []
+            page_clusters: list[list[dict]] = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                n_in += 1
+                span_list = [dict(s) for s in spans]
+                span_list.sort(key=lambda s: s["offset"])
+                for page in typeset(doc_id, span_list, cfg):
+                    dets = synth_detections(doc_id, page, cfg)
+                    page_meta.append((doc_id, page.page_no))
+                    page_clusters.append(
+                        postprocess_page(page.width, page.height, page.cells, dets)
+                    )
+            attach_table_structures(page_clusters)
+            rows = []
+            for (doc_id, page_no), clusters in zip(page_meta, page_clusters):
+                els = assemble_page_elements(doc_id, page_no, clusters)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "page_no": page_no,
+                        "elements": [
+                            {
+                                "label": e["label"],
+                                "l": e["l"], "t": e["t"], "r": e["r"], "b": e["b"],
+                                "text": e["text"],
+                                "media_ref": e["media_ref"],
+                                "children": e["children"],
+                            }
+                            for e in els
+                        ],
+                    }
+                )
+            n_out += len(rows)
+            yield pd.DataFrame(rows, columns=["doc_id", "page_no", "elements"])
+        _write_lineage(lineage_dir, "convert", n_in, n_out, t0)
+
+    return docs_df.mapInPandas(fn, ELEMENTS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# fully-fused doc-grain stage: docs → ordered spans, zero shuffles
+# --------------------------------------------------------------------------
+
+def doc_fused_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None):
+    """The zero-shuffle fast path: a document is self-contained, so parse →
+    layout → tables → assembly → reading order all run doc-locally in ONE
+    mapInPandas stage (the serial oracle per doc, parallelized by
+    partition). Table batches still form across all docs of an Arrow
+    batch.
+
+    Trade-off vs the staged page-grain path: no shuffle and near-perfect
+    core scaling, but a mega-document is one task (fine while per-page
+    cost is CPU-milliseconds; switch to the staged path when page-level
+    model stages — GPU layout/OCR/TableFormer — need cross-doc batching
+    at page grain, or when stage checkpoints are required)."""
+    from ..oracle import extract_doc_spans
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t0 = time.monotonic()
+        n = 0
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                n += 1
+                span_list = [dict(s) for s in spans]
+                span_list.sort(key=lambda s: s["offset"])
+                rows.append(
+                    {"doc_id": doc_id, "spans": extract_doc_spans(doc_id, span_list, cfg)}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+        _write_lineage(lineage_dir, "doc_fused", n, n, t0)
+
+    return docs_df.mapInPandas(fn, SPANS_OUT_SCHEMA)
+
+
+# --------------------------------------------------------------------------
 # S7: document assembly — elements → ordered spans per doc
 # --------------------------------------------------------------------------
 
-def doc_assemble_stage(elements_df, lineage_dir: str | None = None):
-    """groupBy(doc_id): sort pages, assign global cids, run reading order +
-    caption/footnote attachment, emit the ordered span array.
+def doc_assemble_stage(elements_df, lineage_dir: str | None = None,
+                       num_partitions: int | None = None):
+    """Per-document assembly: co-locate each doc's pages via
+    repartition(doc_id), then group INSIDE the partition and run reading
+    order + caption/footnote attachment, emitting the ordered span array.
 
-    The in-group page sort makes the result independent of shuffle order
-    (SURVEY.md §7 "never rely on shuffle order"). This is the pipeline's
-    single shuffle.
+    Deliberately ``repartition + mapInPandas`` instead of
+    ``groupBy().applyInPandas``: applyInPandas pays a per-GROUP Arrow
+    round-trip (~1ms), which for millions of small documents dwarfs the
+    real work; one Arrow stream per PARTITION with an in-Python groupby
+    is ~100× cheaper per doc and scales with cores. The in-group page
+    sort makes the result independent of shuffle order (SURVEY.md §7).
+    This is the pipeline's single shuffle.
     """
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("page_no")
-        doc_id = pdf["doc_id"].iloc[0]
+    def assemble_doc(doc_id: str, pages: list[tuple[int, Any]]) -> dict[str, Any]:
+        pages.sort(key=lambda x: x[0])
         elements: list[dict[str, Any]] = []
-        for page_no, els in zip(pdf["page_no"], pdf["elements"]):
+        for page_no, els in pages:
             for e in els:
                 el = dict(e)
                 el["page_no"] = int(page_no)
@@ -177,7 +286,19 @@ def doc_assemble_stage(elements_df, lineage_dir: str | None = None):
                 el["children"] = [] if children is None else [dict(c) for c in children]
                 el["cid"] = len(elements)
                 elements.append(el)
-        spans = assemble_spans(elements)
-        return pd.DataFrame({"doc_id": [doc_id], "spans": [spans]})
+        return {"doc_id": doc_id, "spans": assemble_spans(elements)}
 
-    return elements_df.groupBy("doc_id").applyInPandas(fn, SPANS_OUT_SCHEMA)
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t0 = time.monotonic()
+        by_doc: dict[str, list[tuple[int, Any]]] = {}
+        for pdf in batches:
+            for doc_id, page_no, els in zip(
+                pdf["doc_id"], pdf["page_no"], pdf["elements"]
+            ):
+                by_doc.setdefault(doc_id, []).append((int(page_no), els))
+        rows = [assemble_doc(doc_id, pages) for doc_id, pages in by_doc.items()]
+        _write_lineage(lineage_dir, "assemble", len(by_doc), len(rows), t0)
+        yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    n = num_partitions or elements_df.sparkSession.sparkContext.defaultParallelism * 2
+    return elements_df.repartition(n, "doc_id").mapInPandas(fn, SPANS_OUT_SCHEMA)

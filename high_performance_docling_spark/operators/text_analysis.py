@@ -1,0 +1,94 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All JVM-side column expressions (no UDFs) with
+exact DuckDB-expressible semantics so the driver can oracle them."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+}
+
+
+def _toks(text_col: str):
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """n-gram/stopword-heuristic language guess: the language whose marker
+    words hit most tokens wins; ties break in (en, es, de, fr) order;
+    zero hits → 'und'."""
+    toks = _toks(text_col)
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # insertion order = tie-break order
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        pred.alias("lang_pred"),
+        *[scores[lang].alias(f"hits_{lang}") for lang in LANG_MARKERS],
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: token count, mean token length,
+    stopword ratio, alpha ratio, plus a composite score."""
+    toks = _toks(text_col)
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "and", "of", "to", "a", "in")))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    n_chars = F.length(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        F.round(n_chars / n_tok, 4).alias("mean_tok_len"),
+        F.round(stop_hits / n_tok, 4).alias("stopword_ratio"),
+        F.round(n_alpha / n_chars, 4).alias("alpha_ratio"),
+        F.round(
+            F.least(n_tok / F.lit(100.0), F.lit(1.0)) * (n_alpha / n_chars), 4
+        ).alias("quality"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    toks = _toks(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(toks))
+        .alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprints: content hash (md5) and a position-weighted
+    rolling token hash (order-sensitive, so reordered tokens differ)."""
+    toks = _toks(text_col)
+    pos_hash = F.aggregate(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda t, i: (
+                F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("bigint")
+                * i.cast("bigint")
+            )
+            % F.lit(9007199254740881).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: (acc + v) % F.lit(9007199254740881).cast("bigint"),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("content_md5"),
+        pos_hash.alias("rolling_hash"),
+    )

@@ -16,6 +16,7 @@ from .corpus import GenConfig, synth_detections, typeset
 from .kernels.assemble import assemble_page_elements
 from .kernels.layout_postprocess import postprocess_page
 from .kernels.reading_order import assemble_spans
+from .kernels.table_decode import attach_table_structures
 
 
 def extract_doc_spans(
@@ -23,10 +24,15 @@ def extract_doc_spans(
 ) -> list[dict[str, Any]]:
     """docs-row → ordered output spans [(kind, text, media_ref, order)]."""
     pages = typeset(doc_id, spans, cfg)
-    elements: list[dict[str, Any]] = []
+    page_clusters = []
     for page in pages:
         dets = synth_detections(doc_id, page, cfg)
-        clusters = postprocess_page(page.width, page.height, page.cells, dets)
+        page_clusters.append(
+            postprocess_page(page.width, page.height, page.cells, dets)
+        )
+    attach_table_structures(page_clusters)
+    elements: list[dict[str, Any]] = []
+    for page, clusters in zip(pages, page_clusters):
         elements.extend(assemble_page_elements(doc_id, page.page_no, clusters))
     for cid, el in enumerate(elements):  # global cids (readingorder_model.py:61)
         el["cid"] = cid

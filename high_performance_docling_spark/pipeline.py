@@ -18,7 +18,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .corpus import GenConfig, generate_doc
-from .operators.stages import doc_assemble_stage, layout_stage, parse_stage
+from .operators.stages import (
+    convert_stage,
+    doc_assemble_stage,
+    doc_fused_stage,
+    layout_stage,
+    parse_stage,
+)
 from .schemas import DOCS_SCHEMA
 
 
@@ -37,6 +43,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # sandbox-scale split size: corpora here are tens of MB, and the
+        # Python stages are CPU-bound per row — default 128m would read
+        # everything as 1-2 splits and serialize the pipeline. A real
+        # 100 TB table has thousands of row groups and uses the default.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "262144")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
     )
@@ -99,16 +114,36 @@ def extract_spans(
     checkpoint_dir: str | None = None,
     lineage_dir: str | None = None,
     page_partitions: int | None = None,
+    mode: str = "fused",
 ) -> DataFrame:
-    """Full S0→S7 pipeline. Lazy when checkpoint_dir is None (one shuffle:
-    the final groupBy(doc_id)); with checkpoint_dir set, each stage output
-    is a resumable parquet table."""
+    """Full S0→S7 pipeline.
+
+    Execution modes (partitioning/shuffle strategy is explicit, per the
+    north rule):
+      - "fused" (default, checkpoint_dir=None): doc-grain, ZERO shuffles —
+        each partition converts whole documents end-to-end. Fastest and
+        perfectly scalable while stages are CPU kernels.
+      - "staged" (or checkpoint_dir set): page-grain stages with one
+        doc_id shuffle before assembly — use when page-level model stages
+        need cross-doc GPU batching or when resumable stage checkpoints
+        are required.
+    """
+    # Parallelism guard: if the input still arrives with fewer splits than
+    # cores (tiny corpus or in-memory DF), fan out once. The shuffle is
+    # not free (the spans payload moves), so the primary lever is the
+    # small files.maxPartitionBytes set in get_spark; this is the backstop.
+    target = spark.sparkContext.defaultParallelism
+    if docs_df.rdd.getNumPartitions() < target:
+        docs_df = docs_df.repartition(target * 2, "doc_id")
+
+    if checkpoint_dir is None and mode == "fused":
+        return doc_fused_stage(docs_df, cfg, lineage_dir)
+
     if checkpoint_dir is None:
-        pages = parse_stage(docs_df, cfg, lineage_dir)
-        if page_partitions:
-            # spread mega-doc pages across the cluster (skew)
-            pages = pages.repartition(page_partitions, "doc_id", "page_no")
-        elements = layout_stage(pages, cfg, lineage_dir)
+        # staged lazy path: ONE Python stage docs→elements (see
+        # convert_stage docstring for why chaining two Python stages
+        # oversubscribes the executors), then the single shuffle.
+        elements = convert_stage(docs_df, cfg, lineage_dir)
         return doc_assemble_stage(elements, lineage_dir)
 
     pages = _checkpoint_stage(

@@ -1,0 +1,9 @@
+"""Structured Streaming operators (SURVEY.md §2.9).
+
+The reference pipeline is batch-only; these operators cover the
+streaming surface a production corpus ingestion needs: watermarked
+windowed aggregation over an event stream and an idempotent
+(exactly-once-per-epoch) foreachBatch sink.
+"""
+
+from .windows import stream_windowed_counts, run_stream_once  # noqa: F401

@@ -17,7 +17,9 @@ def expected_span(s_in):
     if s_in["kind"] == L.PICTURE:
         return s_in["kind"], "", s_in["media_ref"]
     if s_in["kind"] == L.TABLE:
-        return s_in["kind"], cluster_text(s_in["text"].split("\n")), ""
+        # table text = row-major grid serialization (cells \t-separated,
+        # rows \n-separated in the raw input)
+        return s_in["kind"], " ".join(s_in["text"].split()), ""
     return s_in["kind"], sanitize_text(s_in["text"].split("\n")), ""
 
 

@@ -26,6 +26,13 @@ def test_spark_matches_oracle_exactly(spark):
         assert got[doc_id] == extract_doc_spans(doc_id, in_spans, CFG), doc_id
 
 
+def test_staged_mode_equals_fused_mode(spark):
+    docs = docs_dataframe(spark, CFG, num_partitions=6)
+    fused = _spans(extract_spans(spark, docs, CFG, mode="fused").collect())
+    staged = _spans(extract_spans(spark, docs, CFG, mode="staged").collect())
+    assert fused == staged
+
+
 def test_output_schema(spark):
     docs = docs_dataframe(spark, GenConfig(seed=1, n_docs=2), num_partitions=1)
     out = extract_spans(spark, docs, GenConfig(seed=1, n_docs=2))
@@ -63,5 +70,8 @@ def test_lineage_rows_written(spark, tmp_path):
     docs = docs_dataframe(spark, cfg, num_partitions=2)
     extract_spans(spark, docs, cfg, lineage_dir=ldir).collect()
     files = os.listdir(ldir)
-    assert any(f.startswith("parse") for f in files)
-    assert any(f.startswith("layout") for f in files)
+    assert any(f.startswith("doc_fused") for f in files)
+    extract_spans(spark, docs, cfg, lineage_dir=ldir, mode="staged").collect()
+    files = os.listdir(ldir)
+    assert any(f.startswith("convert") for f in files)
+    assert any(f.startswith("assemble") for f in files)

@@ -1,0 +1,43 @@
+"""Structured Streaming smoke: watermarked windowed agg equals the batch
+computation over the same files."""
+
+from pyspark.sql import functions as F
+
+from high_performance_docling_spark.streaming import (
+    run_stream_once,
+    stream_windowed_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_windowed_counts_matches_batch(spark, tmp_path):
+    # the file stream source requires a directory of files
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    import shutil
+
+    shutil.copy(f"{SF}/events.parquet", src / "part-0.parquet")
+    agg = stream_windowed_counts(spark, str(src), window="1 hour")
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in run_stream_once(agg, "t_stream").collect()
+    }
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+    )
+    want = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0

@@ -1,0 +1,138 @@
+"""Unit tests for the S5 table pipeline kernels (OTSL walk, span
+derivation, IOPDF matching, matching post-processor, response/merge/
+compaction)."""
+
+from high_performance_docling_spark.kernels.otsl import (
+    build_table_cells,
+    otsl_spans,
+    otsl_square,
+    translate_bboxes,
+)
+from high_performance_docling_spark.kernels.table_decode import (
+    geometric_table_decode,
+    table_structure_for_tokens,
+)
+from high_performance_docling_spark.kernels.table_match import (
+    compact_row_col_indexes,
+    generate_tf_response,
+    iopdf_match,
+    matching_post_process,
+    merge_tf_output,
+)
+
+
+def tok(i, text, l, t, r, b):
+    return {"id": i, "text": text, "bbox": [float(l), float(t), float(r), float(b)]}
+
+
+def test_otsl_square():
+    assert otsl_square(["fcel", "fcel", "nl", "fcel", "fcel", "nl"])
+    assert not otsl_square(["fcel", "fcel", "nl", "fcel", "nl"])
+    assert otsl_square([])
+
+
+def test_otsl_spans_colspan():
+    # 2x2 where the top row is one merged cell: fcel lcel / fcel fcel
+    seq = ["fcel", "lcel", "nl", "fcel", "fcel", "nl"]
+    assert otsl_spans(seq) == {0: (2, 1)}
+
+
+def test_otsl_spans_rowspan_and_xcel():
+    # 2x2 fully merged via ucel/xcel: fcel lcel / ucel xcel
+    seq = ["fcel", "lcel", "nl", "ucel", "xcel", "nl"]
+    spans = otsl_spans(seq)
+    assert spans[0] == (2, 2)
+
+
+def test_build_table_cells_ids_and_spans():
+    seq = ["ched", "lcel", "nl", "fcel", "fcel", "nl"]
+    bboxes = [[0, 0, 1, 1]] * 3
+    cells = build_table_cells(seq, bboxes, [2, 2, 2])
+    assert [(c["cell_id"], c["row_id"], c["column_id"]) for c in cells] == [
+        (0, 0, 0), (1, 1, 0), (2, 1, 1)
+    ]
+    assert cells[0]["colspan_val"] == 2
+    assert cells[0]["label"] == "ched"
+
+
+def test_translate_bboxes_affine():
+    out = translate_bboxes([100, 200, 300, 260], [[0.0, 0.0, 0.5, 0.5]])
+    assert out == [[100.0, 200.0, 200.0, 230.0]]
+
+
+def test_iopdf_match_argmax():
+    tcells = [
+        {"cell_id": 0, "bbox": [0, 0, 50, 20]},
+        {"cell_id": 1, "bbox": [50, 0, 100, 20]},
+    ]
+    pdf = [tok(7, "a", 2, 2, 48, 18), tok(9, "b", 52, 2, 98, 18)]
+    m = iopdf_match(tcells, pdf)
+    assert m["7"][0]["table_cell_id"] == 0
+    assert m["9"][0]["table_cell_id"] == 1
+
+
+def test_matching_pp_moves_unmatched_and_orphans():
+    # 2x2 grid; token for (1,1) missing from matches → orphan pickup
+    tcells = [
+        {"cell_id": 0, "row_id": 0, "column_id": 0, "bbox": [0, 0, 50, 20], "cell_class": 2, "label": "fcel"},
+        {"cell_id": 1, "row_id": 0, "column_id": 1, "bbox": [50, 0, 100, 20], "cell_class": 2, "label": "fcel"},
+        {"cell_id": 2, "row_id": 1, "column_id": 0, "bbox": [0, 20, 50, 40], "cell_class": 2, "label": "fcel"},
+        {"cell_id": 3, "row_id": 1, "column_id": 1, "bbox": [50, 20, 100, 40], "cell_class": 2, "label": "fcel"},
+    ]
+    pdf = [
+        tok(0, "a", 2, 2, 48, 18),
+        tok(1, "b", 52, 2, 98, 18),
+        tok(2, "c", 2, 22, 48, 38),
+        tok(3, "d", 52, 22, 98, 38),
+    ]
+    matches = iopdf_match(tcells, pdf)
+    cells_out, final = matching_post_process(tcells, pdf, matches)
+    # every pdf cell ends matched to its grid cell
+    assert {k: v[0]["table_cell_id"] for k, v in final.items()} == {
+        "0": 0, "1": 1, "2": 2, "3": 3
+    }
+
+
+def test_generate_merge_compact():
+    tcells = [
+        {"cell_id": 0, "row_id": 0, "column_id": 0, "bbox": [0, 0, 50, 20], "cell_class": 2, "label": "ched", "colspan_val": 2},
+        {"cell_id": 1, "row_id": 1, "column_id": 0, "bbox": [0, 20, 50, 40], "cell_class": 2, "label": "fcel"},
+        {"cell_id": 2, "row_id": 1, "column_id": 1, "bbox": [50, 20, 100, 40], "cell_class": 2, "label": "fcel"},
+    ]
+    matches = {
+        "10": [{"table_cell_id": 0, "iopdf": 1.0}],
+        "11": [{"table_cell_id": 1, "iopdf": 1.0}],
+        "12": [{"table_cell_id": 2, "iopdf": 1.0}],
+    }
+    pdf = [tok(10, "hdr", 0, 0, 50, 20), tok(11, "x", 0, 20, 50, 40),
+           tok(12, "y", 50, 20, 100, 40)]
+    resp = generate_tf_response(tcells, matches)
+    resp.sort(key=lambda r: r["cell_id"])
+    tf_cells = merge_tf_output(resp, pdf)
+    assert len(tf_cells) == 3
+    hdr = next(c for c in tf_cells if c["column_header"])
+    assert hdr["col_span"] == 2
+    n_rows, n_cols = compact_row_col_indexes(tf_cells)
+    assert (n_rows, n_cols) == (2, 2)
+
+
+def test_geometric_decode_grid_and_span():
+    # 2x2 with merged top row (wide token)
+    tokens = [
+        tok(0, "hdr", 3, 4, 94, 15),
+        tok(1, "a", 3, 20, 40, 31),
+        tok(2, "b", 53, 20, 90, 31),
+    ]
+    otsl, bboxes, classes = geometric_table_decode([0, 0, 100, 40], tokens)
+    assert otsl == ["ched", "lcel", "nl", "fcel", "fcel", "nl"]
+    assert len(bboxes) == 3 and classes == [2, 2, 2]
+
+
+def test_table_structure_end_to_end_text():
+    tokens = [
+        tok(0, "h1", 3, 4, 40, 15), tok(1, "h2", 53, 4, 90, 15),
+        tok(2, "a", 3, 20, 40, 31), tok(3, "b", 53, 20, 90, 31),
+    ]
+    out = table_structure_for_tokens([0, 0, 100, 40], tokens)
+    assert out["text"] == "h1 h2 a b"
+    assert (out["num_rows"], out["num_cols"]) == (2, 2)
