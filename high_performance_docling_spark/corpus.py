@@ -68,6 +68,12 @@ class GenConfig:
     mega_pages: int = 24
     noise: bool = True        # plant detector noise (postprocessor work)
     two_col_frac: float = 0.3
+    # OCR exercise: fraction of blocks that are "scanned" (image-only text
+    # regions with no extractable cells). Requires keep_empty_clusters so
+    # the 0-cell clusters survive to the OCR stage (gpu_processor.py:
+    # 204-234); that in turn disables the empty-competitor noise case.
+    ocr_frac: float = 0.0
+    keep_empty_clusters: bool = False
 
 
 # --------------------------------------------------------------------------
@@ -134,6 +140,13 @@ def gen_doc_spans(cfg: GenConfig, doc_index: int) -> list[dict[str, Any]]:
     n_blocks = max(3, int(n_pages * rng.uniform(6, 10)))
     add(L.SECTION_HEADER, " ".join(_words(rng, rng.randint(2, 5))))
     for _ in range(n_blocks):
+        if cfg.ocr_frac > 0 and rng.random() < cfg.ocr_frac:
+            # scanned region: no extractable text; the typesetter places
+            # blank cells and the generator fills the expected OCR text
+            # post-typeset (generate_doc)
+            s = add(L.TEXT, "")
+            s["media_ref"] = f"scan:{rng.randint(1, 3)}"
+            continue
         roll = rng.random()
         if roll < 0.42:
             add(L.TEXT, "\n".join(_make_lines(rng, rng.randint(1, 5), (4, 8))))
@@ -188,6 +201,7 @@ class TypesetElement:
     b: float
     cell_ixs: list[int] = field(default_factory=list)  # page-local cell indices
     lines: list[str] = field(default_factory=list)
+    scanned: bool = False  # image-only region: blank cells, OCR fills text
 
 
 @dataclass
@@ -243,6 +257,8 @@ def typeset(doc_id: str, spans: list[dict[str, Any]], cfg: GenConfig) -> list[Ty
                 h += len(sp["text"].split("\n")) * 16.0 + 8.0
             elif sp["kind"] == L.PICTURE:
                 h += 90.0
+            elif sp["media_ref"].startswith("scan:"):
+                h += int(sp["media_ref"][5:]) * LEADING
             else:
                 h += len(sp["text"].split("\n")) * LEADING
             if k + 1 < len(group):
@@ -291,8 +307,14 @@ def typeset(doc_id: str, spans: list[dict[str, Any]], cfg: GenConfig) -> list[Ty
                 page.elements.append(el)
                 y = el.b
             else:  # text-like: one cell per line
-                lines = sp["text"].split("\n")
-                el = TypesetElement(ix, kind, page.page_no, x0, y, x0, y)
+                scanned = sp["media_ref"].startswith("scan:")
+                if scanned:
+                    # blank cells: the parse backend "sees" no text here
+                    lines = [""] * int(sp["media_ref"][5:])
+                else:
+                    lines = sp["text"].split("\n")
+                el = TypesetElement(ix, kind, page.page_no, x0, y, x0, y,
+                                    scanned=scanned)
                 for li, line in enumerate(lines):
                     w = _line_width(line, col_w, li == len(lines) - 1, rng)
                     cell = {
@@ -413,6 +435,11 @@ def synth_detections(
                 emit(L.TABLE, el.l + 2, el.t + 2, el.r - 2, el.b - 2,
                      max(conf - 0.1, 0.55))
             continue
+        if el.scanned:
+            # image-only region: exact box (no cells will adjust it; the
+            # OCR stage keys its synthetic text on this exact geometry)
+            emit(label, el.l, el.t, el.r, el.b, max(conf, 0.6))
+            continue
         # regular text-like detection
         if noise and el.label == L.TEXT and len(el.cell_ixs) == 1 and rng.random() < 0.08:
             continue  # missing detection → orphan cell path (:436-455)
@@ -422,11 +449,13 @@ def synth_detections(
         if noise and rng.random() < 0.2:  # outward jitter; envelope-adjust fixes
             l -= 1.5 * rng.random(); t -= 1.5 * rng.random()
             r += 1.5 * rng.random(); b += 1.5 * rng.random()
-        if noise and rng.random() < 0.07:
+        if noise and not cfg.keep_empty_clusters and rng.random() < 0.07:
             # right-sliver competitor listed first: argmax assignment must
             # still route every cell to the full box (left-anchored lines
             # never sit mostly inside the right sliver), leaving the sliver
-            # empty → dropped by the empty filter (:426-434)
+            # empty → dropped by the empty filter (:426-434). Suppressed
+            # when empty clusters are kept (OCR mode) — an empty competitor
+            # would otherwise become a phantom OCR region.
             emit(label, el.l + 0.45 * (el.r - el.l), el.t, el.r, el.b, conf)
         emit(label, l, t, r, b, conf)
         if noise and rng.random() < 0.12:
@@ -460,6 +489,14 @@ def generate_doc(cfg: GenConfig, doc_index: int) -> dict[str, Any]:
         for el in page.elements:
             if el.label == L.PICTURE and el.span_ix >= 0:
                 spans[el.span_ix]["media_ref"] = media_ref_for_crop(
+                    doc_id, page.page_no, el.l, el.t, el.r, el.b
+                )
+            elif el.scanned and el.span_ix >= 0:
+                # the expected extraction for a scanned region is what the
+                # (synthetic) OCR recognizes from the exact crop geometry
+                from .kernels.convert import synth_ocr_text
+
+                spans[el.span_ix]["text"] = synth_ocr_text(
                     doc_id, page.page_no, el.l, el.t, el.r, el.b
                 )
     return {

@@ -636,6 +636,49 @@ GROUP BY 1, 2 ORDER BY hour_bucket, event_type
 
 
 # --------------------------------------------------------------------------
+# confidence report (base_models.py:379-459 relationally) + markdown export
+# --------------------------------------------------------------------------
+
+def q_confidence_report(spark, sf_dir):
+    """Per-page layout confidence: mean + 5%-quantile grade over cluster
+    confidences (reference ConfidenceReport: mean/low quantile)."""
+    clusters = RG.clusters_rel(spark, sf_dir).withColumn(
+        "conf", ((F.col("cluster_id") % 50) + 50) / 100.0
+    )
+    return (
+        clusters.groupBy("page")
+        .agg(
+            F.round(F.avg("conf"), 6).alias("mean_conf"),
+            F.round(F.expr("percentile(conf, 0.05)"), 6).alias("low_conf_p05"),
+            F.count(F.lit(1)).alias("n_clusters"),
+        )
+        .orderBy("page")
+    )
+
+
+ORACLE_CONFIDENCE_REPORT = _GEO_CTE + """
+SELECT page,
+       round(avg(conf), 6)                  AS mean_conf,
+       round(quantile_cont(conf, 0.05), 6)  AS low_conf_p05,
+       count(*)                             AS n_clusters
+FROM (SELECT page, ((cluster_id % 50) + 50) / 100.0 AS conf FROM clusters)
+GROUP BY page ORDER BY page
+"""
+
+
+def q_export_markdown(spark, sf_dir):
+    """Markdown rendering of extracted spans (rows-only: input is the
+    pipeline's own output). Pure column expressions — no UDF."""
+    from .corpus import GenConfig
+    from .pipeline import docs_dataframe, extract_spans
+    from .operators.export import to_markdown
+
+    cfg = GenConfig(seed=42, n_docs=40)
+    docs = docs_dataframe(spark, cfg, num_partitions=8)
+    return to_markdown(extract_spans(spark, docs, cfg)).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -663,6 +706,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "windowed_events": q_windowed_events,
+    "confidence_report": q_confidence_report,
+    "export_markdown": q_export_markdown,
 }
 
 ORACLES: dict[str, str] = {
@@ -687,4 +732,5 @@ ORACLES: dict[str, str] = {
     "token_profile": ORACLE_TOKEN_PROFILE,
     "embedding_cosine_topk": ORACLE_EMBEDDING_COSINE_TOPK,
     "windowed_events": ORACLE_WINDOWED_EVENTS,
+    "confidence_report": ORACLE_CONFIDENCE_REPORT,
 }

@@ -1,0 +1,103 @@
+"""Shared page-batch conversion core: postprocess → OCR → tables.
+
+Used by both the Spark stages (operators/stages.py) and the serial
+oracle so the two can't drift.
+
+OCR stage (reference: gpu_processor.py:204-288):
+  - identify: text-labeled clusters with zero cells (:204-234) — requires
+    the layout post-processor to keep empty clusters
+    (cfg.keep_empty_clusters, mirroring LayoutOptions.keep_empty_clusters)
+  - batch "inference" in chunks of 32 (:236-258) — the TrOCR model is
+    replaced by :func:`synth_ocr_text`, a deterministic function of the
+    crop identity (doc, page, bbox), with the batching seam preserved
+  - re-join: OCR text appended to its cluster as a from_ocr cell with the
+    cluster bbox, confidence 0.9 (:260-288)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from ..corpus import GenConfig, TypesetPage, synth_detections
+from ..labels import CAPTION, FOOTNOTE, LIST_ITEM, SECTION_HEADER, TEXT
+from .layout_postprocess import postprocess_page
+from .table_decode import attach_table_structures
+
+OCR_TEXT_LABELS = {TEXT, SECTION_HEADER, CAPTION, FOOTNOTE, LIST_ITEM}
+OCR_BATCH_SIZE = 32  # gpu_processor.py:236
+_OCR_CELL_INDEX_BASE = 10**9  # synthetic index keeps OCR cells after native ones
+
+
+def synth_ocr_text(doc_id: str, page_no: int, l: float, t: float, r: float, b: float) -> str:
+    """Deterministic stand-in for TrOCR: the 'recognized' text is a pure
+    function of the crop identity, so the corpus generator and the OCR
+    stage agree exactly."""
+    return (
+        f"scanned region {int(round(l))} {int(round(t))} "
+        f"{int(round(r))} {int(round(b))} of {doc_id} p{page_no}"
+    )
+
+
+def apply_ocr(
+    meta: list[tuple[str, int]], page_clusters: list[list[dict]]
+) -> None:
+    """Identify OCR regions across a batch of pages (meta = (doc_id,
+    page_no) per entry), run the batched recognizer, join results back
+    onto their clusters (mutates page_clusters). OCR batches form across
+    documents, like the reference's cross-page batching."""
+    tasks: list[tuple[int, dict]] = []
+    for pi, clusters in enumerate(page_clusters):
+        for cluster in clusters:
+            if cluster["label"] in OCR_TEXT_LABELS and len(cluster["cells"]) == 0:
+                tasks.append((pi, cluster))
+    for start in range(0, len(tasks), OCR_BATCH_SIZE):
+        batch = tasks[start : start + OCR_BATCH_SIZE]
+        # a neural recognizer would run ONE batched generate() here
+        for pi, cl in batch:
+            doc_id, page_no = meta[pi]
+            text = synth_ocr_text(doc_id, page_no, cl["l"], cl["t"], cl["r"], cl["b"])
+            cl["cells"].append(
+                {
+                    "index": _OCR_CELL_INDEX_BASE + int(cl["id"]),
+                    "text": text,
+                    "l": cl["l"], "t": cl["t"], "r": cl["r"], "b": cl["b"],
+                    "from_ocr": True,
+                    "confidence": 0.9,
+                }
+            )
+
+
+def process_page_batch(
+    items: list[tuple[str, TypesetPage]], cfg: GenConfig
+) -> list[list[dict]]:
+    """Layout postprocess each page, then OCR fill, then table structure —
+    OCR and table model batches form across the whole batch (which may mix
+    documents, as the Spark stage's Arrow batches do)."""
+    page_clusters = [
+        postprocess_page(
+            p.width, p.height, p.cells, synth_detections(doc_id, p, cfg),
+            keep_empty_clusters=cfg.keep_empty_clusters,
+        )
+        for doc_id, p in items
+    ]
+    if cfg.keep_empty_clusters:
+        apply_ocr([(doc_id, p.page_no) for doc_id, p in items], page_clusters)
+    attach_table_structures(page_clusters)
+    return page_clusters
+
+
+def process_parsed_batch(rows: list[dict], cfg: GenConfig) -> list[list[dict]]:
+    """Same as process_page_batch but from already-parsed page rows
+    (doc_id, page_no, width, height, cells, detections) — the staged
+    checkpointed path, where detections were materialized by S1/S2."""
+    page_clusters = [
+        postprocess_page(
+            row["width"], row["height"], row["cells"], row["detections"],
+            keep_empty_clusters=cfg.keep_empty_clusters,
+        )
+        for row in rows
+    ]
+    if cfg.keep_empty_clusters:
+        apply_ocr([(r["doc_id"], r["page_no"]) for r in rows], page_clusters)
+    attach_table_structures(page_clusters)
+    return page_clusters

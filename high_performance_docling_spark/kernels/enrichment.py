@@ -1,0 +1,63 @@
+"""Formula/code enrichment kernels.
+
+The reference's CodeFormula VLM (fork/formula/code_formula_model.py)
+rewrites formula text to LaTeX and tags code blocks with a language
+prefix ``<_lang_>``. The model is not available here; the deterministic
+parts are ported:
+  - code-language prefix extraction (:154-182, exact regex)
+  - most-frequent-edge-color pad selection (:206-253) as a pure
+    numpy function over an image array (used when real crops exist)
+The enrichment stage itself is a batch-5 loop over formula/code elements
+(gpu_processor.py:184-202) — wired as ``enrich_elements`` with the model
+call stubbed to identity.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+_CODE_LANG_RE = re.compile(r"^<_([^_>]+)_>\s(.*)", flags=re.DOTALL)
+
+ENRICH_BATCH_SIZE = 5  # code_formula_model.py:69
+
+
+def extract_code_language(text: str) -> tuple[str, Optional[str]]:
+    """``<_lang_> body`` → (body, lang); otherwise (text, None)."""
+    m = _CODE_LANG_RE.match(text)
+    if m:
+        return str(m.group(2)), str(m.group(1))
+    return text, None
+
+
+def most_frequent_edge_color(image) -> Any:
+    """Mode of the border pixels — the pad color for formula crops
+    (code_formula_model.py:206-253). ``image``: HxW or HxWxC uint8."""
+    import numpy as np
+
+    a = np.asarray(image)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    edges = np.concatenate(
+        [a[0, :, :], a[-1, :, :], a[:, 0, :], a[:, -1, :]], axis=0
+    )
+    # per-channel mode via bincount argmax
+    return tuple(int(np.bincount(edges[:, c], minlength=256).argmax())
+                 for c in range(edges.shape[1]))
+
+
+def enrich_elements(elements: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """Batch-5 enrichment pass over code/formula elements: parses the
+    code-language prefix into ``code_language``; the VLM rewrite is the
+    identity in this sandbox. Mutates and returns the element list."""
+    work = [e for e in elements if e.get("label") in ("code", "formula")]
+    for start in range(0, len(work), ENRICH_BATCH_SIZE):
+        batch = work[start : start + ENRICH_BATCH_SIZE]
+        # a VLM would run one batched generate() over the crops here
+        for el in batch:
+            if el["label"] == "code":
+                body, lang = extract_code_language(el.get("text") or "")
+                el["text"] = body
+                if lang is not None:
+                    el["code_language"] = lang
+    return elements

@@ -33,9 +33,8 @@ import pandas as pd
 
 from ..corpus import GenConfig, synth_detections, typeset
 from ..kernels.assemble import assemble_page_elements
-from ..kernels.layout_postprocess import postprocess_page
+from ..kernels.convert import process_page_batch, process_parsed_batch
 from ..kernels.reading_order import assemble_spans
-from ..kernels.table_decode import attach_table_structures
 from ..schemas import ELEMENTS_SCHEMA, PAGES_SCHEMA, SPANS_OUT_SCHEMA
 
 
@@ -121,23 +120,27 @@ def layout_stage(pages_df, cfg: GenConfig, lineage_dir: str | None = None):
         t0 = time.monotonic()
         n = 0
         for pdf in batches:
-            page_clusters: list[list[dict]] = []
-            for width, height, cells, dets in zip(
-                pdf["width"], pdf["height"], pdf["cells"], pdf["detections"]
+            rows = []
+            for doc_id, page_no, width, height, cells, dets in zip(
+                pdf["doc_id"], pdf["page_no"], pdf["width"], pdf["height"],
+                pdf["cells"], pdf["detections"],
             ):
                 n += 1
-                page_clusters.append(
-                    postprocess_page(
-                        float(width), float(height),
-                        [dict(c) for c in cells], [dict(d) for d in dets],
-                    )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "page_no": int(page_no),
+                        "width": float(width),
+                        "height": float(height),
+                        "cells": [dict(c) for c in cells],
+                        "detections": [dict(d) for d in dets],
+                    }
                 )
-            attach_table_structures(page_clusters)
+            page_clusters = process_parsed_batch(rows, cfg)
             out_elements = []
-            for doc_id, page_no, clusters in zip(
-                pdf["doc_id"], pdf["page_no"], page_clusters
-            ):
-                els = assemble_page_elements(doc_id, int(page_no), clusters)
+            for row, clusters in zip(rows, page_clusters):
+                doc_id, page_no = row["doc_id"], row["page_no"]
+                els = assemble_page_elements(doc_id, page_no, clusters)
                 out_elements.append(
                     [
                         {
@@ -182,22 +185,17 @@ def convert_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None):
         t0 = time.monotonic()
         n_in = n_out = 0
         for pdf in batches:
-            page_meta: list[tuple[str, int]] = []
-            page_clusters: list[list[dict]] = []
+            items: list[tuple[str, object]] = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 n_in += 1
                 span_list = [dict(s) for s in spans]
                 span_list.sort(key=lambda s: s["offset"])
-                for page in typeset(doc_id, span_list, cfg):
-                    dets = synth_detections(doc_id, page, cfg)
-                    page_meta.append((doc_id, page.page_no))
-                    page_clusters.append(
-                        postprocess_page(page.width, page.height, page.cells, dets)
-                    )
-            attach_table_structures(page_clusters)
+                items.extend((doc_id, page) for page in typeset(doc_id, span_list, cfg))
+            page_clusters = process_page_batch(items, cfg)
             rows = []
-            for (doc_id, page_no), clusters in zip(page_meta, page_clusters):
-                els = assemble_page_elements(doc_id, page_no, clusters)
+            for (doc_id, page), clusters in zip(items, page_clusters):
+                els = assemble_page_elements(doc_id, page.page_no, clusters)
+                page_no = page.page_no
                 rows.append(
                     {
                         "doc_id": doc_id,

@@ -12,11 +12,10 @@ from __future__ import annotations
 
 from typing import Any
 
-from .corpus import GenConfig, synth_detections, typeset
+from .corpus import GenConfig, typeset
 from .kernels.assemble import assemble_page_elements
-from .kernels.layout_postprocess import postprocess_page
+from .kernels.convert import process_page_batch
 from .kernels.reading_order import assemble_spans
-from .kernels.table_decode import attach_table_structures
 
 
 def extract_doc_spans(
@@ -24,13 +23,7 @@ def extract_doc_spans(
 ) -> list[dict[str, Any]]:
     """docs-row → ordered output spans [(kind, text, media_ref, order)]."""
     pages = typeset(doc_id, spans, cfg)
-    page_clusters = []
-    for page in pages:
-        dets = synth_detections(doc_id, page, cfg)
-        page_clusters.append(
-            postprocess_page(page.width, page.height, page.cells, dets)
-        )
-    attach_table_structures(page_clusters)
+    page_clusters = process_page_batch([(doc_id, p) for p in pages], cfg)
     elements: list[dict[str, Any]] = []
     for page, clusters in zip(pages, page_clusters):
         elements.extend(assemble_page_elements(doc_id, page.page_no, clusters))

@@ -1,0 +1,67 @@
+"""Markdown export, format registry, enrichment kernels."""
+
+from high_performance_docling_spark.kernels.enrichment import (
+    enrich_elements,
+    extract_code_language,
+    most_frequent_edge_color,
+)
+from high_performance_docling_spark.operators.export import (
+    EXTENSION_TO_FORMAT,
+    detect_format,
+    to_markdown,
+)
+
+
+def test_extract_code_language():
+    assert extract_code_language("<_python_> print(1)") == ("print(1)", "python")
+    assert extract_code_language("no prefix here") == ("no prefix here", None)
+    # DOTALL: body may span lines
+    assert extract_code_language("<_go_> a\nb") == ("a\nb", "go")
+
+
+def test_enrich_elements_batch():
+    els = [
+        {"label": "code", "text": "<_rust_> fn main() {}"},
+        {"label": "text", "text": "plain"},
+        {"label": "code", "text": "raw code"},
+    ]
+    out = enrich_elements(els)
+    assert out[0]["text"] == "fn main() {}" and out[0]["code_language"] == "rust"
+    assert "code_language" not in out[2]
+
+
+def test_most_frequent_edge_color():
+    import numpy as np
+
+    img = np.zeros((10, 10), dtype=np.uint8)
+    img[0, :] = 7
+    img[-1, :] = 7
+    img[:, 0] = 7
+    img[:, -1] = 7
+    assert most_frequent_edge_color(img) == (7,)
+
+
+def test_detect_format(spark):
+    df = spark.createDataFrame(
+        [("a.pdf",), ("b.DOCX",), ("c.weird",)], ["filename"]
+    )
+    out = {r["filename"]: r["format"] for r in detect_format(df).collect()}
+    assert out == {"a.pdf": "pdf", "b.DOCX": "docx", "c.weird": "unknown"}
+    assert EXTENSION_TO_FORMAT["htm"] == "html"
+
+
+def test_to_markdown(spark):
+    spans = [
+        {"kind": "section_header", "text": "Title", "media_ref": "", "order": 0},
+        {"kind": "text", "text": "Body.", "media_ref": "", "order": 1},
+        {"kind": "list_item", "text": "item", "media_ref": "", "order": 2},
+        {"kind": "picture", "text": "", "media_ref": "img:abc", "order": 3},
+        {"kind": "page_footer", "text": "pg 1", "media_ref": "", "order": 4},
+        {"kind": "code", "text": "x = 1", "media_ref": "", "order": 5},
+    ]
+    df = spark.createDataFrame(
+        [("d1", spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,`order`:int>>",
+    )
+    md = to_markdown(df).collect()[0]["markdown"]
+    assert md == "## Title\n\nBody.\n\n- item\n\n![image](img:abc)\n\n```\nx = 1\n```"

@@ -1,0 +1,71 @@
+"""Golden-output regression gate (the reference's primary test strategy,
+SURVEY.md §5): frozen canonical span fixtures with sha256 compare,
+tolerance zero. A semantics change in any kernel fails here."""
+
+import json
+import os
+
+from high_performance_docling_spark.corpus import GenConfig, generate_doc
+from high_performance_docling_spark.oracle import extract_doc_spans
+from high_performance_docling_spark.testing.regression import (
+    canonical_layout,
+    canonical_table_cells,
+    layout_matches,
+    spans_hash,
+)
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "spans_seed42.json")
+
+
+def test_spans_match_frozen_goldens():
+    with open(GOLDEN) as f:
+        golden = json.load(f)
+    cfg = GenConfig(seed=42, n_docs=10)
+    for i in range(10):
+        d = generate_doc(cfg, i)
+        out = extract_doc_spans(d["doc_id"], d["spans"], cfg)
+        g = golden[d["doc_id"]]
+        assert len(out) == g["n_spans"], d["doc_id"]
+        assert spans_hash(out) == g["hash"], d["doc_id"]
+        assert [
+            {"kind": s["kind"], "text": s["text"],
+             "media_ref": s["media_ref"], "order": s["order"]}
+            for s in out
+        ] == g["spans"], d["doc_id"]
+
+
+def test_layout_matcher_tolerates_small_shift():
+    golden = [{"label": "text", "l": 10, "t": 10, "r": 110, "b": 40}]
+    close = [{"label": "text", "l": 11, "t": 10.5, "r": 111, "b": 40.2}]
+    far = [{"label": "text", "l": 200, "t": 10, "r": 300, "b": 40}]
+    ok, _ = layout_matches(golden, close)
+    assert ok
+    ok, problems = layout_matches(golden, far)
+    assert not ok and problems
+
+
+def test_canonical_layout_sorted():
+    rows = canonical_layout(
+        [
+            {"label": "text", "l": 5, "t": 50, "r": 10, "b": 60},
+            {"label": "text", "l": 5, "t": 10, "r": 10, "b": 20},
+            {"label": "caption", "l": 5, "t": 90, "r": 10, "b": 95},
+        ]
+    )
+    assert [r["label"] for r in rows] == ["caption", "text", "text"]
+    assert rows[1]["bbox"][1] == 10
+
+
+def test_canonical_table_cells_shape():
+    cells = [
+        {
+            "start_row_offset_idx": 0, "start_col_offset_idx": 1,
+            "end_row_offset_idx": 1, "end_col_offset_idx": 2,
+            "row_span": 1, "col_span": 1,
+            "column_header": True, "row_header": False, "row_section": False,
+            "bbox": {"l": 1.234, "t": 2.345, "r": 3.456, "b": 4.567},
+            "text_cell_bboxes": [{"token": "hi"}],
+        }
+    ]
+    [row] = canonical_table_cells(cells)
+    assert row["token"] == "hi" and row["bbox"] == [1.23, 2.35, 3.46, 4.57]
