@@ -397,6 +397,37 @@ def q_geo_alignment(spark, sf_dir):
     return RG.column_alignment_vote(spark, sf_dir)
 
 
+def q_geo_kv_suppression(spark, sf_dir):
+    return RG.kv_suppression_antijoin(spark, sf_dir)
+
+
+ORACLE_GEO_KV_SUPPRESSION = f"""
+WITH clusters AS ({RG.CLUSTERS_SQL}),
+wrappers AS (
+  SELECT o_orderkey AS wrapper_id,
+         o_orderkey % {RG.N_PAGES} AS page,
+         (o_custkey % 20) * 30 AS l,
+         (o_orderkey % 40) * 18 AS t,
+         (o_custkey % 20) * 30 + 35 AS r,
+         (o_orderkey % 40) * 18 + 22 AS b,
+         ((o_orderkey % 40) + 55) / 100.0 AS conf
+  FROM orders WHERE o_orderkey % 17 = 0
+),
+tables AS (SELECT *, ((cluster_id % 50) + 50) / 100.0 AS conf FROM clusters)
+SELECT w.wrapper_id, w.page, round(w.conf, 6) AS conf
+FROM wrappers w
+WHERE NOT EXISTS (
+  SELECT 1 FROM tables k
+  WHERE w.page = k.page
+    AND greatest(least(w.r, k.r) - greatest(w.l, k.l), 0)
+      * greatest(least(w.b, k.b) - greatest(w.t, k.t), 0)
+      / ((w.r - w.l) * (w.b - w.t)) > 0.9
+    AND w.conf - k.conf < 0.1
+)
+ORDER BY wrapper_id
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup suite (documents)
 # --------------------------------------------------------------------------
@@ -697,6 +728,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_reading_order_rank": q_geo_reading_order,
     "geo_row_col_compaction": q_geo_compaction,
     "geo_column_alignment_vote": q_geo_alignment,
+    "geo_kv_suppression_antijoin": q_geo_kv_suppression,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -724,6 +756,7 @@ ORACLES: dict[str, str] = {
     "geo_reading_order_rank": ORACLE_GEO_READING_ORDER,
     "geo_row_col_compaction": ORACLE_GEO_COMPACTION,
     "geo_column_alignment_vote": ORACLE_GEO_ALIGNMENT,
+    "geo_kv_suppression_antijoin": ORACLE_GEO_KV_SUPPRESSION,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "dedup_simhash": ORACLE_SIMHASH,

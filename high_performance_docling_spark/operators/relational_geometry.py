@@ -175,6 +175,36 @@ def row_col_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kv_suppression_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KV-region-vs-TABLE suppression (layout_postprocessor.py:550-583)
+    as an ANTI JOIN: keep wrappers that do NOT overlap >0.9 with a
+    similar-confidence table. Wrappers derive from orders, tables from
+    part; confidences are deterministic integer-derived."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    wrappers = o.filter(F.col("o_orderkey") % 17 == 0).select(
+        F.col("o_orderkey").alias("wrapper_id"),
+        (F.col("o_orderkey") % N_PAGES).alias("page"),
+        ((F.col("o_custkey") % 20) * 30).alias("l"),
+        ((F.col("o_orderkey") % 40) * 18).alias("t"),
+        ((F.col("o_custkey") % 20) * 30 + 35).alias("r"),
+        ((F.col("o_orderkey") % 40) * 18 + 22).alias("b"),
+        (((F.col("o_orderkey") % 40) + 55) / 100.0).alias("conf"),
+    ).alias("w")
+    tables = clusters_rel(spark, sf_dir).withColumn(
+        "conf", ((F.col("cluster_id") % 50) + 50) / 100.0
+    ).alias("k")
+    w_area = (F.col("w.r") - F.col("w.l")) * (F.col("w.b") - F.col("w.t"))
+    ios = _inter_area("w", "k") / w_area
+    cond = (
+        (F.col("w.page") == F.col("k.page"))
+        & (ios > 0.9)
+        & (F.col("w.conf") - F.col("k.conf") < 0.1)
+    )
+    return wrappers.join(tables, cond, "left_anti").select(
+        "wrapper_id", "page", F.round("conf", 6).alias("conf")
+    ).orderBy("wrapper_id")
+
+
 def column_alignment_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column alignment vote (matching_post_processor.py:150-190
     relationally): per (page, column-band), the smallest min-max spread of
