@@ -180,30 +180,39 @@ def _assign_cells(
         return assigned
 
     cboxes = np.array([_box(c) for c in clusters], dtype=np.float64)
-    careas = np.clip(cboxes[:, 2] - cboxes[:, 0], 0, None) * np.clip(
-        cboxes[:, 3] - cboxes[:, 1], 0, None
+    vboxes = np.array(
+        [(c["l"], c["t"], c["r"], c["b"]) for c in valid_cells], dtype=np.float64
     )
-    for cell in valid_cells:
-        cl, ct, cr, cb = cell["l"], cell["t"], cell["r"], cell["b"]
-        cell_area = max(0.0, cr - cl) * max(0.0, cb - ct)
-        if cell_area <= 0.0:
+    areas = np.maximum(vboxes[:, 2] - vboxes[:, 0], 0.0) * np.maximum(
+        vboxes[:, 3] - vboxes[:, 1], 0.0
+    )
+    iw = np.minimum(vboxes[:, None, 2], cboxes[None, :, 2]) - np.maximum(
+        vboxes[:, None, 0], cboxes[None, :, 0]
+    )
+    ih = np.minimum(vboxes[:, None, 3], cboxes[None, :, 3]) - np.maximum(
+        vboxes[:, None, 1], cboxes[None, :, 1]
+    )
+    inter = np.maximum(iw, 0.0) * np.maximum(ih, 0.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ios = np.where(areas[:, None] > 0.0, inter / np.maximum(areas[:, None], 1e-300), 0.0)
+    # Exact loop semantics vectorized: accept the FIRST cluster (input
+    # order) with IoS >= 0.95, else the first argmax when it clears the
+    # floor (strictly greater comparison → first max wins).
+    ge95 = ios >= 0.95
+    has95 = ge95.any(axis=1)
+    first95 = np.argmax(ge95, axis=1)
+    best = np.argmax(ios, axis=1)
+    best_val = ios[np.arange(len(valid_cells)), best]
+    chosen = np.where(has95, first95, best)
+    ok = has95 | (best_val > min_overlap)
+    for i, cell in enumerate(valid_cells):
+        if areas[i] <= 0.0 or not ok[i]:
             continue
-        iw = np.minimum(cr, cboxes[:, 2]) - np.maximum(cl, cboxes[:, 0])
-        ih = np.minimum(cb, cboxes[:, 3]) - np.maximum(ct, cboxes[:, 1])
-        ios = np.where((iw > 0) & (ih > 0), np.clip(iw, 0, None) * np.clip(ih, 0, None) / cell_area, 0.0)
-        best_cluster = None
-        best_overlap = min_overlap
-        for j in range(len(clusters)):
-            if ios[j] > best_overlap:
-                best_overlap = float(ios[j])
-                best_cluster = clusters[j]
-                if best_overlap >= 0.95:
-                    break
-        if best_cluster is not None:
-            best_cluster["cells"].append(cell)
-            if cell["index"] < best_cluster["first_cell_index"]:
-                best_cluster["first_cell_index"] = cell["index"]
-            assigned.add(cell["index"])
+        best_cluster = clusters[int(chosen[i])]
+        best_cluster["cells"].append(cell)
+        if cell["index"] < best_cluster["first_cell_index"]:
+            best_cluster["first_cell_index"] = cell["index"]
+        assigned.add(cell["index"])
     for c in clusters:
         c["cells"] = _dedup_cells(c["cells"])
     return assigned

@@ -133,6 +133,35 @@ def build_table_cells(
     return table_cells
 
 
+def check_bbox_sync(
+    otsl_seq: list[str], bboxes: list[list[float]]
+) -> tuple[bool, list[list[float]]]:
+    """bbox/tag sync guard (tf_predictor.py:237-279): the decoder must
+    emit exactly one bbox per emitting tag. On over-emission (the
+    reference's span-tag desync, where an extra bbox follows each spanned
+    cell) drop one bbox after each span-origin cell until counts agree;
+    residual excess truncates from the tail. Under-emission pads zeros
+    (downstream cells beyond the list already default to a zero bbox in
+    build_table_cells)."""
+    expected = sum(1 for t in otsl_seq if t in EMITTING_TAGS)
+    if len(bboxes) == expected:
+        return True, list(bboxes)
+    out = list(bboxes)
+    if len(out) > expected:
+        spans = otsl_spans(otsl_seq)
+        # delete the bbox following each span origin (mirrors
+        # _remove_bbox_span_desync's delete-after-span semantics)
+        for origin in sorted(spans, reverse=True):
+            if len(out) <= expected:
+                break
+            if origin + 1 < len(out):
+                del out[origin + 1]
+        del out[expected:]
+    else:
+        out.extend([[0.0, 0.0, 0.0, 0.0]] * (expected - len(out)))
+    return False, out
+
+
 def translate_bboxes(
     table_bbox: list[float], norm_bboxes: list[list[float]]
 ) -> list[list[float]]:

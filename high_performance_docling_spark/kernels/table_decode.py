@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from .otsl import build_table_cells, translate_bboxes
+from .otsl import build_table_cells, check_bbox_sync, translate_bboxes
 from .table_match import (
     compact_row_col_indexes,
     generate_tf_response,
@@ -135,6 +135,7 @@ def table_structure_for_tokens(
     otsl_seq, norm_bboxes, classes = geometric_table_decode(table_bbox, tokens)
     if not otsl_seq:
         return None
+    _sync, norm_bboxes = check_bbox_sync(otsl_seq, norm_bboxes)  # tf_predictor.py:789
     page_bboxes = translate_bboxes(table_bbox, norm_bboxes)
     table_cells = build_table_cells(otsl_seq, page_bboxes, classes)
     matches = iopdf_match(table_cells, tokens)

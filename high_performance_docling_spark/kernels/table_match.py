@@ -102,6 +102,15 @@ def _find_alignment(cells: list[dict]) -> str:
     return ["left", "middle", "right"][deltas.index(min(deltas))]
 
 
+def _median(values: list[float]) -> float:
+    """Exact median (np.median semantics: mean of the two middles) without
+    numpy's per-call overhead on tiny lists."""
+    s = sorted(values)
+    n = len(s)
+    mid = n // 2
+    return float(s[mid]) if n % 2 else (s[mid - 1] + s[mid]) / 2.0
+
+
 def _median_pos_size(cells, alignment):
     """Exact medians over unspanned, non-empty cells — :192-267."""
     xs, ys, ws, hs = [], [], [], []
@@ -115,10 +124,10 @@ def _median_pos_size(cells, alignment):
         ws.append(x2 - x1)
         hs.append(y2 - y1)
     return (
-        float(np.median(xs)) if xs else 0.0,
-        float(np.median(ys)) if ys else 0.0,
-        float(np.median(ws)) if ws else 1.0,
-        float(np.median(hs)) if hs else 1.0,
+        _median(xs) if xs else 0.0,
+        _median(ys) if ys else 0.0,
+        _median(ws) if ws else 1.0,
+        _median(hs) if hs else 1.0,
     )
 
 

@@ -65,3 +65,18 @@ def test_to_markdown(spark):
     )
     md = to_markdown(df).collect()[0]["markdown"]
     assert md == "## Title\n\nBody.\n\n- item\n\n![image](img:abc)\n\n```\nx = 1\n```"
+
+
+def test_sources_parquet_fallback(spark, tmp_path):
+    from high_performance_docling_spark.sources import (
+        iceberg_available,
+        read_corpus,
+        write_spans,
+    )
+
+    assert iceberg_available(spark) is False  # no jars in this sandbox
+    df = spark.createDataFrame([("d1", [])],
+                               "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,`order`:int>>")
+    out = str(tmp_path / "spans_tbl")
+    write_spans(df, out, partitions=2)
+    assert read_corpus(spark, out).count() == 1

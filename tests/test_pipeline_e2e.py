@@ -10,7 +10,7 @@ from high_performance_docling_spark.pipeline import (
     extract_spans,
 )
 
-CFG = GenConfig(seed=42, n_docs=24, noise=True)
+CFG = GenConfig(seed=42, n_docs=36, noise=True, mega_frac=0.1, mega_pages=16)
 
 
 def _spans(rows):

@@ -136,3 +136,20 @@ def test_table_structure_end_to_end_text():
     out = table_structure_for_tokens([0, 0, 100, 40], tokens)
     assert out["text"] == "h1 h2 a b"
     assert (out["num_rows"], out["num_cols"]) == (2, 2)
+
+
+def test_check_bbox_sync():
+    from high_performance_docling_spark.kernels.otsl import check_bbox_sync
+
+    seq = ["fcel", "fcel", "nl"]
+    ok, out = check_bbox_sync(seq, [[0, 0, 1, 1], [1, 0, 2, 1]])
+    assert ok and len(out) == 2
+    # over-emission after a span origin gets dropped
+    seq2 = ["fcel", "lcel", "nl", "fcel", "fcel", "nl"]  # 3 emitting
+    boxes = [[0, 0, 1, 1], [9, 9, 9, 9], [0, 1, 1, 2], [1, 1, 2, 2]]
+    ok, out = check_bbox_sync(seq2, boxes)
+    assert not ok and len(out) == 3
+    assert [9, 9, 9, 9] not in out
+    # under-emission pads zeros
+    ok, out = check_bbox_sync(seq2, [[0, 0, 1, 1]])
+    assert not ok and len(out) == 3 and out[1] == [0.0, 0.0, 0.0, 0.0]
