@@ -151,6 +151,44 @@ ORDER BY c_mktsegment, rk
 """
 
 
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join chain (Catalyst reorders; dims
+    broadcast) + group agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline: dedup / text analysis (task brief) on `documents`
 # --------------------------------------------------------------------------
@@ -240,6 +278,7 @@ ORDER BY doc_id
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag + gap>30min cumsum (§2.5 window patterns; the
     batch analogue of streaming session windows)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle is TZ-naive
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     # fractional-second epoch so boundaries match the oracle exactly
@@ -646,6 +685,7 @@ def q_embedding_lsh_ann(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_windowed_events(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle is TZ-naive
     ev = _t(spark, sf_dir, "events")
     hour = F.floor(F.col("ts").cast("timestamp").cast("double") / 3600).cast("long")
     return (
@@ -718,6 +758,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_forecast": q_revenue_forecast,
     "top_orders_per_segment": q_top_orders_per_segment,
+    "revenue_by_nation": q_revenue_by_nation,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -746,6 +787,7 @@ ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "revenue_forecast": ORACLE_REVENUE_FORECAST,
     "top_orders_per_segment": ORACLE_TOP_ORDERS_PER_SEGMENT,
+    "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "token_count": ORACLE_TOKEN_COUNT,
     "quality_score": ORACLE_QUALITY_SCORE,

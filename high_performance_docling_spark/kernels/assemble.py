@@ -86,6 +86,17 @@ def assemble_page_elements(
             base["media_ref"] = media_ref_for_crop(
                 doc_id, page_no, cl["l"], cl["t"], cl["r"], cl["b"]
             )
+            # pictures render contained clusters as child spans, like
+            # containers (readingorder_model.py:263 _add_child_elements);
+            # tables deliberately don't (:234 TODO in the reference)
+            base["children"] = [
+                {
+                    "label": child["label"],
+                    "text": child_text([c["text"] for c in child["cells"]]),
+                    "media_ref": "",
+                }
+                for child in cl["children"]
+            ]
             elements.append(base)
         elif label in CONTAINER_LABELS:
             base["text"] = ""
