@@ -716,24 +716,42 @@ def q_confidence_report(spark, sf_dir):
     clusters = RG.clusters_rel(spark, sf_dir).withColumn(
         "conf", ((F.col("cluster_id") % 50) + 50) / 100.0
     )
-    return (
-        clusters.groupBy("page")
-        .agg(
-            F.round(F.avg("conf"), 6).alias("mean_conf"),
-            F.round(F.expr("percentile(conf, 0.05)"), 6).alias("low_conf_p05"),
-            F.count(F.lit(1)).alias("n_clusters"),
+    def grade(col):
+        # score→grade thresholds from base_models.py:385-394
+        return (
+            F.when(col < 0.5, "poor")
+            .when(col < 0.8, "fair")
+            .when(col < 0.9, "good")
+            .otherwise("excellent")
         )
-        .orderBy("page")
+
+    agg = clusters.groupBy("page").agg(
+        F.round(F.avg("conf"), 6).alias("mean_conf"),
+        F.round(F.expr("percentile(conf, 0.05)"), 6).alias("low_conf_p05"),
+        F.count(F.lit(1)).alias("n_clusters"),
     )
+    return agg.select(
+        "page", "mean_conf", "low_conf_p05", "n_clusters",
+        grade(F.col("mean_conf")).alias("mean_grade"),
+        grade(F.col("low_conf_p05")).alias("low_grade"),
+    ).orderBy("page")
 
 
 ORACLE_CONFIDENCE_REPORT = _GEO_CTE + """
-SELECT page,
-       round(avg(conf), 6)                  AS mean_conf,
-       round(quantile_cont(conf, 0.05), 6)  AS low_conf_p05,
-       count(*)                             AS n_clusters
-FROM (SELECT page, ((cluster_id % 50) + 50) / 100.0 AS conf FROM clusters)
-GROUP BY page ORDER BY page
+, agg AS (
+  SELECT page,
+         round(avg(conf), 6)                  AS mean_conf,
+         round(quantile_cont(conf, 0.05), 6)  AS low_conf_p05,
+         count(*)                             AS n_clusters
+  FROM (SELECT page, ((cluster_id % 50) + 50) / 100.0 AS conf FROM clusters)
+  GROUP BY page
+)
+SELECT page, mean_conf, low_conf_p05, n_clusters,
+       CASE WHEN mean_conf < 0.5 THEN 'poor' WHEN mean_conf < 0.8 THEN 'fair'
+            WHEN mean_conf < 0.9 THEN 'good' ELSE 'excellent' END AS mean_grade,
+       CASE WHEN low_conf_p05 < 0.5 THEN 'poor' WHEN low_conf_p05 < 0.8 THEN 'fair'
+            WHEN low_conf_p05 < 0.9 THEN 'good' ELSE 'excellent' END AS low_grade
+FROM agg ORDER BY page
 """
 
 

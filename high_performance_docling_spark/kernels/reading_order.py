@@ -133,7 +133,49 @@ def _attach(
     return mapping
 
 
-def assemble_spans(elements: list[dict[str, Any]]) -> list[dict[str, Any]]:
+def predict_merges(
+    elements_by_cid: dict[int, dict], ordered_cids: list[int]
+) -> dict[int, list[int]]:
+    """Cross-boundary paragraph merges (the reference's
+    ``predict_merges``, consumed at readingorder_model.py:369-371 and
+    applied by ``_merge_elements`` :336-353): a TEXT element continues
+    into the next TEXT element in reading order when they sit in
+    different columns or on different pages, the first doesn't end with
+    sentence-terminal punctuation, and the continuation starts lowercase.
+
+    NOTE: disabled by default in this engine (``assemble_spans(...,
+    enable_merges=False)``) — the synthetic corpus has no
+    punctuation-realistic paragraph breaks, so the heuristic would merge
+    unrelated blocks; enable for real-document corpora."""
+    merges: dict[int, list[int]] = {}
+    merged_into: dict[int, int] = {}
+    for prev_cid, next_cid in zip(ordered_cids, ordered_cids[1:]):
+        a = elements_by_cid[prev_cid]
+        b = elements_by_cid[next_cid]
+        if a["label"] != "text" or b["label"] != "text":
+            continue
+        same_region = a["page_no"] == b["page_no"] and not (
+            a["r"] < b["l"] or b["r"] < a["l"]  # different columns
+        )
+        if same_region:
+            continue
+        ta = (a.get("text") or "").rstrip()
+        tb = (b.get("text") or "").lstrip()
+        if not ta or not tb:
+            continue
+        if ta[-1] in ".!?:;":
+            continue
+        if not tb[0].islower():
+            continue
+        root = merged_into.get(prev_cid, prev_cid)
+        merges.setdefault(root, []).append(next_cid)
+        merged_into[next_cid] = root
+    return merges
+
+
+def assemble_spans(
+    elements: list[dict[str, Any]], enable_merges: bool = False
+) -> list[dict[str, Any]]:
     """Full document assembly: reading order + attachment → ordered spans.
 
     ``elements``: dicts with cid, page_no, l,t,r,b, label, text, media_ref,
@@ -146,9 +188,12 @@ def assemble_spans(elements: list[dict[str, Any]]) -> list[dict[str, Any]]:
     ordered = predict_reading_order(elements)
     captions = _attach(by_cid, ordered, CAPTION)
     footnotes = _attach(by_cid, ordered, FOOTNOTE)
-    skippable = {c for lst in captions.values() for c in lst} | {
-        c for lst in footnotes.values() for c in lst
-    }
+    merges = predict_merges(by_cid, ordered) if enable_merges else {}
+    skippable = (
+        {c for lst in captions.values() for c in lst}
+        | {c for lst in footnotes.values() for c in lst}
+        | {c for lst in merges.values() for c in lst}
+    )
 
     spans: list[dict[str, Any]] = []
 
@@ -166,7 +211,10 @@ def assemble_spans(elements: list[dict[str, Any]]) -> list[dict[str, Any]]:
         if cid in skippable:
             continue
         el = by_cid[cid]
-        emit(el["label"], el.get("text") or "", el.get("media_ref") or "")
+        text = el.get("text") or ""
+        for merged_cid in merges.get(cid, ()):  # _merge_elements :351
+            text += " " + (by_cid[merged_cid].get("text") or "")
+        emit(el["label"], text, el.get("media_ref") or "")
         for child in el.get("children") or []:
             emit(child["label"], child.get("text") or "", child.get("media_ref") or "")
         for cap_cid in captions.get(cid, ()):  # captions then footnotes

@@ -92,3 +92,40 @@ def test_container_children_emitted_inline():
         ("form", ""), ("text", "k1"), ("text", "v1"), ("text", "after")
     ]
     assert [s["order"] for s in spans] == [0, 1, 2, 3]
+
+
+def test_cross_column_paragraph_merge():
+    els = [
+        el(0, 0, 50, 100, 290, 400, "text", "first column continues"),
+        el(1, 0, 320, 100, 560, 400, "text", "into the second column."),
+        el(2, 1, 50, 100, 560, 200, "text", "New page paragraph."),
+    ]
+    spans = assemble_spans(els, enable_merges=True)
+    assert [s["text"] for s in spans] == [
+        "first column continues into the second column.",
+        "New page paragraph.",
+    ]
+    assert [s["order"] for s in spans] == [0, 1]
+
+
+def test_merge_blocked_by_punctuation_or_case():
+    els = [
+        el(0, 0, 50, 100, 290, 400, "text", "sentence ends."),
+        el(1, 0, 320, 100, 560, 400, "text", "so no merge"),
+        el(2, 1, 50, 100, 560, 200, "text", "continues"),
+        el(3, 1, 50, 300, 560, 400, "text", "Capitalized start"),
+    ]
+    spans = assemble_spans(els, enable_merges=True)
+    # el0 ends with '.', el3 starts uppercase → both blocked; el1→el2 is a
+    # legitimate cross-page continuation and merges
+    assert [s["text"] for s in spans] == [
+        "sentence ends.", "so no merge continues", "Capitalized start",
+    ]
+
+
+def test_merges_disabled_by_default():
+    els = [
+        el(0, 0, 50, 100, 290, 400, "text", "first column continues"),
+        el(1, 0, 320, 100, 560, 400, "text", "into the second column."),
+    ]
+    assert len(assemble_spans(els)) == 2
