@@ -69,3 +69,72 @@ def test_canonical_table_cells_shape():
     ]
     [row] = canonical_table_cells(cells)
     assert row["token"] == "hi" and row["bbox"] == [1.23, 2.35, 3.46, 4.57]
+
+
+def test_layout_stage_matches_frozen_goldens():
+    """Stage-level golden: canonical layout of post-processed clusters
+    (FIXTURES.md §6 golden_layout, reference layout_regression_runner
+    format)."""
+    from high_performance_docling_spark.corpus import (
+        GenConfig, generate_doc, synth_detections, typeset,
+    )
+    from high_performance_docling_spark.kernels.layout_postprocess import (
+        postprocess_page,
+    )
+
+    with open(os.path.join(os.path.dirname(__file__), "goldens",
+                           "layout_seed42.json")) as f:
+        golden = json.load(f)
+    cfg = GenConfig(seed=42, n_docs=6)
+    for i in range(6):
+        d = generate_doc(cfg, i)
+        for p in typeset(d["doc_id"], d["spans"], cfg)[:2]:
+            dets = synth_detections(d["doc_id"], p, cfg)
+            clusters = postprocess_page(p.width, p.height, p.cells, dets)
+            key = f"{d['doc_id']}:p{p.page_no}"
+            assert canonical_layout(clusters) == golden[key], key
+
+
+def test_table_stage_matches_frozen_goldens():
+    """Stage-level golden: canonical table-cell grids + hashes
+    (FIXTURES.md §6 golden_tables, reference table_regression_runner
+    format)."""
+    from high_performance_docling_spark.corpus import (
+        GenConfig, generate_doc, synth_detections, typeset,
+    )
+    from high_performance_docling_spark.kernels.layout_postprocess import (
+        postprocess_page,
+    )
+    from high_performance_docling_spark.kernels.table_decode import (
+        table_structure_for_tokens,
+    )
+    from high_performance_docling_spark.testing.regression import table_hash
+
+    with open(os.path.join(os.path.dirname(__file__), "goldens",
+                           "tables_seed42.json")) as f:
+        golden = json.load(f)
+    cfg = GenConfig(seed=42, n_docs=6)
+    seen = 0
+    for i in range(6):
+        d = generate_doc(cfg, i)
+        for p in typeset(d["doc_id"], d["spans"], cfg)[:2]:
+            dets = synth_detections(d["doc_id"], p, cfg)
+            for cl in postprocess_page(p.width, p.height, p.cells, dets):
+                if cl["label"] in ("table", "document_index") and cl["cells"]:
+                    toks = [
+                        {"id": c["index"], "text": c["text"],
+                         "bbox": [c["l"], c["t"], c["r"], c["b"]]}
+                        for c in cl["cells"]
+                    ]
+                    res = table_structure_for_tokens(
+                        [cl["l"], cl["t"], cl["r"], cl["b"]], toks
+                    )
+                    if res is None:
+                        continue
+                    key = f"{d['doc_id']}:p{p.page_no}:c{cl['id']}"
+                    assert table_hash(res["tf_cells"]) == golden[key]["hash"], key
+                    assert (res["num_rows"], res["num_cols"]) == (
+                        golden[key]["num_rows"], golden[key]["num_cols"],
+                    ), key
+                    seen += 1
+    assert seen == len(golden)
