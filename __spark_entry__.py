@@ -8,11 +8,15 @@ pairs; non-SQL-expressible pipeline entries are rows-only).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from high_performance_docling_spark.entry_queries import ORACLES, QUERIES
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from high_performance_docling_spark.entry_queries import ORACLES, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

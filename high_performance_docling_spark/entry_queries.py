@@ -578,6 +578,40 @@ bits AS (SELECT doc_id, """
 # text analysis (documents)
 # --------------------------------------------------------------------------
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """Near-dup candidate pairs by SimHash hamming distance <= 3 (the
+    lookup side of SimHash dedup; bit_count is JVM-side)."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = DD.simhash(docs, bits=16)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("x"),
+            F.col("b.doc_id").alias("y"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .orderBy("x", "y")
+    )
+
+
+# build on the simhash oracle as a CTE
+ORACLE_SIMHASH_PAIRS = (
+    "WITH fp AS (" + ORACLE_SIMHASH.replace("ORDER BY doc_id", "") + """)
+SELECT a.doc_id AS x, b.doc_id AS y,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY x, y
+"""
+)
+
+
 def q_language_id(spark, sf_dir):
     return TA.language_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -791,6 +825,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "language_id": q_language_id,
     "doc_fingerprints": q_fingerprints,
     "token_profile": q_token_profile,
@@ -820,6 +855,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "dedup_simhash": ORACLE_SIMHASH,
+    "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "language_id": ORACLE_LANGUAGE_ID,
     "doc_fingerprints": ORACLE_FINGERPRINTS,
     "token_profile": ORACLE_TOKEN_PROFILE,
