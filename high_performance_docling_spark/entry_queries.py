@@ -23,6 +23,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _utc_plan(spark: SparkSession, build) -> DataFrame:
+    """Build + ANALYZE a plan under session TZ UTC, then restore the
+    caller's TZ. Spark binds the session timezone into timestamp casts at
+    analysis time, so forcing analysis here pins UTC semantics into the
+    returned plan without leaking a session-wide config mutation."""
+    prev = spark.conf.get("spark.sql.session.timeZone", None)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        df = build()
+        df.schema  # force analysis: UTC is captured into the plan now
+        return df
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 # --------------------------------------------------------------------------
 # the extraction engine itself (rows-only check; the real correctness gate
 # is tests/test_pipeline_e2e.py's span equality vs the serial oracle)
@@ -203,7 +219,6 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(norm.alias("content_hash"), "doc_id")
         .groupBy("content_hash")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
-        .filter(F.col("n_copies") >= 1)
         .orderBy("content_hash")
     )
 
@@ -216,6 +231,9 @@ FROM documents
 GROUP BY 1
 ORDER BY content_hash
 """
+# NOTE: q_token_count keeps raw-case tokens deliberately (the raw-text
+# profile); operators/text_analysis.token_counts (q_token_profile)
+# lowercases — two different metrics, each with its own oracle.
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,26 +296,28 @@ ORDER BY doc_id
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag + gap>30min cumsum (§2.5 window patterns; the
     batch analogue of streaming session windows)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle is TZ-naive
-    ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # fractional-second epoch so boundaries match the oracle exactly
-    # (parquet ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the
-    # NTZ→LTZ→double path equals DuckDB's naive epoch())
-    epoch = F.col("ts").cast("timestamp").cast("double")
-    gap = epoch - F.lag(epoch).over(w)
-    sess = F.sum(
-        F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
-    ).over(w).cast("long")
-    return (
-        ev.withColumn("session_id", sess)
-        .groupBy("user_id", "session_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+    def build():
+        ev = _t(spark, sf_dir, "events")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        # fractional-second epoch so boundaries match the oracle exactly
+        # (parquet ts is TIMESTAMP_NTZ; the plan is analyzed under UTC so
+        # the NTZ→LTZ→double path equals DuckDB's naive epoch())
+        epoch = F.col("ts").cast("timestamp").cast("double")
+        gap = epoch - F.lag(epoch).over(w)
+        sess = F.sum(
+            F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+        ).over(w).cast("long")
+        return (
+            ev.withColumn("session_id", sess)
+            .groupBy("user_id", "session_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("session_value"),
+            )
+            .orderBy("user_id", "session_id")
         )
-        .orderBy("user_id", "session_id")
-    )
+
+    return _utc_plan(spark, build)
 
 
 ORACLE_SESSIONIZE_EVENTS = """
@@ -671,7 +691,8 @@ WITH t AS (
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
        length(text) AS n_chars,
-       len(list_distinct(toks)) AS n_unique_tokens
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(list_distinct(toks)) END AS n_unique_tokens
 FROM t ORDER BY doc_id
 """
 
@@ -719,17 +740,21 @@ def q_embedding_lsh_ann(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_windowed_events(spark, sf_dir):
-    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle is TZ-naive
-    ev = _t(spark, sf_dir, "events")
-    hour = F.floor(F.col("ts").cast("timestamp").cast("double") / 3600).cast("long")
-    return (
-        ev.groupBy(hour.alias("hour_bucket"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+    def build():
+        ev = _t(spark, sf_dir, "events")
+        hour = F.floor(
+            F.col("ts").cast("timestamp").cast("double") / 3600
+        ).cast("long")
+        return (
+            ev.groupBy(hour.alias("hour_bucket"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .orderBy("hour_bucket", "event_type")
         )
-        .orderBy("hour_bucket", "event_type")
-    )
+
+    return _utc_plan(spark, build)
 
 
 ORACLE_WINDOWED_EVENTS = """

@@ -68,9 +68,6 @@ def geometric_table_decode(
 
     n_rows, n_cols = len(row_pos), len(col_pos)
     grid: list[list[dict | None]] = [[None] * n_cols for _ in range(n_rows)]
-    span_origin: list[list[tuple[int, int] | None]] = [
-        [None] * n_cols for _ in range(n_rows)
-    ]
     for t in tokens:
         r = row_of(t)
         c0 = col_of(t["bbox"][0])
@@ -81,11 +78,23 @@ def geometric_table_decode(
                 c1 = c
         if grid[r][c0] is None:
             grid[r][c0] = {"token": t, "c1": c1}
-            for c in range(c0, c1 + 1):
-                span_origin[r][c] = (r, c0)
         else:
             # multiple tokens in one slot: widen the slot's extent
             grid[r][c0]["c1"] = max(grid[r][c0]["c1"], c1)
+
+    # derive span ownership AFTER all tokens placed, so widened slots emit
+    # lcel continuations rather than phantom ecels
+    span_origin: list[list[tuple[int, int] | None]] = [
+        [None] * n_cols for _ in range(n_rows)
+    ]
+    for r in range(n_rows):
+        for c0 in range(n_cols):
+            slot = grid[r][c0]
+            if slot is None:
+                continue
+            for c in range(c0, slot["c1"] + 1):
+                if span_origin[r][c] is None:
+                    span_origin[r][c] = (r, c0)
 
     otsl: list[str] = []
     bboxes: list[list[float]] = []

@@ -46,7 +46,6 @@ EXTENSION_TO_FORMAT = {
 def detect_format(df: DataFrame, filename_col: str = "filename") -> DataFrame:
     """Extension → format as a when() chain (no UDF)."""
     ext = F.lower(F.regexp_extract(F.col(filename_col), r"\.([A-Za-z0-9]+)$", 1))
-    expr = F.lit(None).cast("string")
     col = None
     for e, fmt in EXTENSION_TO_FORMAT.items():
         col = F.when(ext == e, fmt) if col is None else col.when(ext == e, fmt)

@@ -294,9 +294,18 @@ def doc_assemble_stage(elements_df, lineage_dir: str | None = None,
                 pdf["doc_id"], pdf["page_no"], pdf["elements"]
             ):
                 by_doc.setdefault(doc_id, []).append((int(page_no), els))
-        rows = [assemble_doc(doc_id, pages) for doc_id, pages in by_doc.items()]
-        _write_lineage(lineage_dir, "assemble", len(by_doc), len(rows), t0)
-        yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+        # grouping requires buffering the partition's input, but the OUTPUT
+        # streams in bounded chunks (popping inputs as we go) so peak
+        # memory doesn't double with partition size
+        n_docs = len(by_doc)
+        chunk: list[dict[str, Any]] = []
+        for doc_id in list(by_doc):
+            chunk.append(assemble_doc(doc_id, by_doc.pop(doc_id)))
+            if len(chunk) >= 256:
+                yield pd.DataFrame(chunk, columns=["doc_id", "spans"])
+                chunk = []
+        _write_lineage(lineage_dir, "assemble", n_docs, n_docs, t0)
+        yield pd.DataFrame(chunk, columns=["doc_id", "spans"])
 
     n = num_partitions or elements_df.sparkSession.sparkContext.defaultParallelism * 2
     return elements_df.repartition(n, "doc_id").mapInPandas(fn, SPANS_OUT_SCHEMA)

@@ -60,13 +60,16 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
 def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     toks = _toks(text_col)
+    empty = F.length(F.trim(F.col(text_col))) == 0
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
-        .otherwise(F.size(toks))
-        .alias("n_tokens"),
+        F.when(empty, F.lit(0)).otherwise(F.size(toks)).alias("n_tokens"),
         F.length(text_col).alias("n_chars"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        # the empty-string guard must apply to BOTH counts, or an empty doc
+        # reports 0 tokens but 1 unique token
+        F.when(empty, F.lit(0))
+        .otherwise(F.size(F.array_distinct(toks)))
+        .alias("n_unique_tokens"),
     )
 
 

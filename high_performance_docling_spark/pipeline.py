@@ -76,10 +76,13 @@ def docs_dataframe(
     return rng_df.mapInPandas(gen, DOCS_SCHEMA)
 
 
-def _path_exists(spark: SparkSession, path: str) -> bool:
-    # local-FS checkpoint dirs in the sandbox; on a cluster swap for the
-    # Hadoop FS API / Iceberg table existence check.
-    return os.path.exists(path)
+def _checkpoint_committed(path: str) -> bool:
+    """A checkpoint counts only when the parquet job COMMITTED (_SUCCESS
+    marker): a job killed mid-write leaves the directory with only
+    _temporary/ inside, which must be treated as absent, not as done.
+    Local-FS in the sandbox; on a cluster swap for the Hadoop FS API /
+    Iceberg snapshot check."""
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
 def _checkpoint_stage(
@@ -94,14 +97,16 @@ def _checkpoint_stage(
 
     Resume semantics: completed keys are anti-joined from the INPUT before
     the stage runs, so a restarted job never reprocesses finished
-    partitions (north rule).
+    partitions (north rule). The append runs unconditionally (an empty
+    append is harmless) — probing the output first would evaluate the
+    Python stage twice. Join strategy for the done-keys set is left to
+    Catalyst/AQE: at 100 TB the completed-key set can be huge and must be
+    allowed to shuffle rather than broadcast.
     """
-    if _path_exists(spark, path):
+    if _checkpoint_committed(path):
         done_keys = spark.read.parquet(path).select(*input_keys).distinct()
-        todo = input_df.join(F.broadcast(done_keys), input_keys, "left_anti")
-        out = stage_fn(todo)
-        if out.limit(1).count() > 0:
-            out.write.mode("append").parquet(path)
+        todo = input_df.join(done_keys, input_keys, "left_anti")
+        stage_fn(todo).write.mode("append").parquet(path)
     else:
         stage_fn(input_df).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)

@@ -56,7 +56,10 @@ def _sessionize(key, pdfs, state: GroupState):
             rows.append((user_id, start, last, n, round(total, 2)))
             start, last, n, total = ts, ts, 1, value
         else:
-            last, n, total = ts, n + 1, total + value
+            # a late event from an earlier micro-batch must not move the
+            # session boundaries backwards
+            start, last = min(start, ts), max(last, ts)
+            n, total = n + 1, total + value
     if start is not None:
         state.update((start, last, n, total))
     yield pd.DataFrame(

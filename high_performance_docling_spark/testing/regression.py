@@ -75,9 +75,10 @@ def layout_matches(
     if len(golden) != len(got):
         problems.append(f"cluster count {len(got)} != golden {len(golden)}")
     used: set[int] = set()
+    got_canon = canonical_layout(got)
     for g in canonical_layout(golden):
         best, best_iou = None, 0.0
-        for i, h in enumerate(canonical_layout(got)):
+        for i, h in enumerate(got_canon):
             if i in used or h["label"] != g["label"]:
                 continue
             iou = _iou(g["bbox"], h["bbox"])
