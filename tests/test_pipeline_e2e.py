@@ -75,3 +75,19 @@ def test_lineage_rows_written(spark, tmp_path):
     files = os.listdir(ldir)
     assert any(f.startswith("convert") for f in files)
     assert any(f.startswith("assemble") for f in files)
+
+
+def test_checkpoint_recovers_from_uncommitted_write(spark, tmp_path):
+    """A job killed mid-write leaves the checkpoint dir WITHOUT _SUCCESS;
+    a restart must treat it as absent and rewrite, not crash."""
+    cfg = GenConfig(seed=9, n_docs=4)
+    ckpt = str(tmp_path / "ckpt")
+    docs = docs_dataframe(spark, cfg, num_partitions=2)
+
+    # simulate the crash artifact: pages dir exists but never committed
+    crashed = os.path.join(ckpt, "pages")
+    os.makedirs(os.path.join(crashed, "_temporary"))
+
+    out = _spans(extract_spans(spark, docs, cfg, checkpoint_dir=ckpt).collect())
+    assert len(out) == cfg.n_docs
+    assert os.path.exists(os.path.join(crashed, "_SUCCESS"))
