@@ -97,7 +97,8 @@ def child_extract(cores: int) -> None:
     # best-of-k at every level: min converges to the steady-state floor on
     # both sides of the efficiency ratio, shrugging off host noise
     best = float("inf")
-    repeats = 3 if cores >= 16 else 1  # the long low-core run self-averages
+    repeats = 4 if cores >= 16 else 1  # the long low-core run self-averages;
+    # high-core runs are short and noise-prone, so take the min of several
     for _ in range(repeats):
         t0 = time.monotonic()
         _extract(spark, docs)
