@@ -727,6 +727,24 @@ SELECT query_id, rk, nbr_id, cosine FROM (
 """
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.45: the synthetic
+    embeddings top out at cosine ~0.51, so this yields a real pair set)."""
+    return SIM.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    ).orderBy("a", "b")
+
+
+ORACLE_DEDUP_EMBEDDING_COSINE = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_cosine_similarity(x.v, y.v), 5) AS cosine
+FROM base x JOIN base y ON x.vec_id < y.vec_id
+WHERE round(list_cosine_similarity(x.v, y.v), 5) >= 0.45
+ORDER BY a, b
+"""
+
+
 def q_embedding_lsh_ann(spark, sf_dir):
     """Approximate NN via random-hyperplane LSH buckets (scale path; no
     SQL oracle — checked by the recall test in tests/)."""
@@ -855,6 +873,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": q_fingerprints,
     "token_profile": q_token_profile,
     "embedding_cosine_topk": q_embedding_cosine_topk,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "windowed_events": q_windowed_events,
     "confidence_report": q_confidence_report,
@@ -885,6 +904,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprints": ORACLE_FINGERPRINTS,
     "token_profile": ORACLE_TOKEN_PROFILE,
     "embedding_cosine_topk": ORACLE_EMBEDDING_COSINE_TOPK,
+    "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "windowed_events": ORACLE_WINDOWED_EVENTS,
     "confidence_report": ORACLE_CONFIDENCE_REPORT,
 }

@@ -108,6 +108,33 @@ def hyperplane_buckets(
                       bucket.alias("bucket"))
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 5,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b) with a < b and
+    cosine >= threshold. Exact pairwise here (the correctness baseline);
+    the scale path pre-filters pairs through hyperplane_buckets so only
+    same-bucket candidates pay the dot product."""
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a = base.select(F.col("vid").alias("a"), F.col("v").alias("va"))
+    b = base.select(F.col("vid").alias("b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.round(_cosine(F.col("va"), F.col("vb")), round_to).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_ids: list[int],
