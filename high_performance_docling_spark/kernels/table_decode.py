@@ -71,19 +71,24 @@ def geometric_table_decode(
     for t in tokens:
         r = row_of(t)
         c0 = col_of(t["bbox"][0])
-        # how many column bands does this token cover?
+        # how many column / row bands does this token cover?
         c1 = c0
         for c in range(c0 + 1, n_cols):
             if t["bbox"][2] > col_pos[c] + _BAND_TOL:
                 c1 = c
+        r1 = r
+        for rr in range(r + 1, n_rows):
+            if t["bbox"][3] > row_pos[rr] + _BAND_TOL:
+                r1 = rr
         if grid[r][c0] is None:
-            grid[r][c0] = {"token": t, "c1": c1}
+            grid[r][c0] = {"token": t, "c1": c1, "r1": r1}
         else:
             # multiple tokens in one slot: widen the slot's extent
             grid[r][c0]["c1"] = max(grid[r][c0]["c1"], c1)
+            grid[r][c0]["r1"] = max(grid[r][c0]["r1"], r1)
 
     # derive span ownership AFTER all tokens placed, so widened slots emit
-    # lcel continuations rather than phantom ecels
+    # lcel/ucel/xcel continuations rather than phantom ecels
     span_origin: list[list[tuple[int, int] | None]] = [
         [None] * n_cols for _ in range(n_rows)
     ]
@@ -92,9 +97,10 @@ def geometric_table_decode(
             slot = grid[r][c0]
             if slot is None:
                 continue
-            for c in range(c0, slot["c1"] + 1):
-                if span_origin[r][c] is None:
-                    span_origin[r][c] = (r, c0)
+            for rr in range(r, slot["r1"] + 1):
+                for c in range(c0, slot["c1"] + 1):
+                    if span_origin[rr][c] is None:
+                        span_origin[rr][c] = (r, c0)
 
     otsl: list[str] = []
     bboxes: list[list[float]] = []
@@ -112,7 +118,17 @@ def geometric_table_decode(
         for c in range(n_cols):
             origin = span_origin[r][c]
             if origin is not None and origin != (r, c):
-                otsl.append("lcel")  # left-merge continuation
+                orow, ocol = origin
+                if orow == r:
+                    otsl.append("lcel")  # left-merge continuation
+                elif ocol == c:
+                    otsl.append("ucel")  # up-merge continuation
+                else:
+                    # xcel is an emitting tag (tf_cell_matcher.py:381):
+                    # it consumes a bbox/class slot like the reference
+                    otsl.append("xcel")
+                    bboxes.append(norm(grid[orow][ocol]["token"]["bbox"]))
+                    classes.append(2)
                 continue
             slot = grid[r][c]
             if slot is None:

@@ -153,3 +153,48 @@ def test_check_bbox_sync():
     # under-emission pads zeros
     ok, out = check_bbox_sync(seq2, [[0, 0, 1, 1]])
     assert not ok and len(out) == 3 and out[1] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_geometric_decode_rowspan_and_xcel():
+    # 2x2 where the left column is one tall merged cell:
+    #   fcel fcel / ucel fcel
+    tokens = [
+        tok(0, "tall", 3, 4, 40, 35),   # spans both row bands
+        tok(1, "a", 53, 4, 90, 15),
+        tok(2, "b", 53, 20, 90, 31),
+    ]
+    otsl, bboxes, classes = geometric_table_decode([0, 0, 100, 40], tokens)
+    assert otsl == ["ched", "ched", "nl", "ucel", "fcel", "nl"]  # row 0 = headers
+    from high_performance_docling_spark.kernels.otsl import otsl_spans
+
+    assert otsl_spans(otsl) == {0: (1, 2)}
+
+    # 3x3 with a 2x2 merge in the top-left (wide AND tall token):
+    # ched lcel ched / ucel xcel fcel / fcel fcel fcel
+    tokens2 = [
+        tok(0, "big", 3, 4, 60, 38),     # spans cols 0-1, rows 0-1
+        tok(1, "h2", 63, 4, 90, 15),
+        tok(2, "m2", 63, 22, 90, 33),
+        tok(3, "a", 3, 40, 30, 51),
+        tok(4, "b", 33, 40, 58, 51),
+        tok(5, "c", 63, 40, 90, 51),
+    ]
+    otsl2, bboxes2, classes2 = geometric_table_decode([0, 0, 100, 60], tokens2)
+    assert otsl2 == ["ched", "lcel", "ched", "nl",
+                     "ucel", "xcel", "fcel", "nl",
+                     "fcel", "fcel", "fcel", "nl"]
+    # xcel consumed a bbox/class slot (emitting tag)
+    assert len(bboxes2) == 7 and len(classes2) == 7
+    from high_performance_docling_spark.kernels.otsl import otsl_spans as _sp
+    assert _sp(otsl2)[0] == (2, 2)
+
+
+def test_table_structure_rowspan_text_roundtrip():
+    tokens = [
+        tok(0, "tall", 3, 4, 40, 35),
+        tok(1, "a", 53, 4, 90, 15),
+        tok(2, "b", 53, 20, 90, 31),
+    ]
+    out = table_structure_for_tokens([0, 0, 100, 40], tokens)
+    assert out["text"] == "tall a b"
+    assert (out["num_rows"], out["num_cols"]) == (2, 2)
