@@ -65,6 +65,35 @@ def q_extract_spans_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_spans_ocr_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2E extraction with the OCR stage active: ~25% of blocks are
+    scanned (no extractable text); empty clusters survive to the OCR fill
+    (rows-only; correctness gate is tests/test_ocr.py)."""
+    from .corpus import GenConfig
+    from .pipeline import docs_dataframe, extract_spans
+
+    cfg = GenConfig(seed=13, n_docs=40, ocr_frac=0.25, keep_empty_clusters=True)
+    docs = docs_dataframe(spark, cfg, num_partitions=8)
+    out = extract_spans(spark, docs, cfg)
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.order").alias("ord"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column → batched feature
+    extraction (byte stats + frame sampling; codec decode stubbed —
+    rows-only; determinism asserted in tests/test_training_ops.py)."""
+    from .operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    return MM.decode_media_batch(MM.synth_media(docs)).orderBy("media_id")
+
+
 # --------------------------------------------------------------------------
 # relational operator coverage (SURVEY.md §2.2/2.4/2.5) on TPC-H-ish tables
 # --------------------------------------------------------------------------
@@ -850,6 +879,8 @@ def q_export_markdown(spark, sf_dir):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_spans_e2e": q_extract_spans_e2e,
+    "extract_spans_ocr_e2e": q_extract_spans_ocr_e2e,
+    "media_features": q_media_features,
     "pricing_summary": q_pricing_summary,
     "revenue_forecast": q_revenue_forecast,
     "top_orders_per_segment": q_top_orders_per_segment,
