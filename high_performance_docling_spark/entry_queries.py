@@ -238,6 +238,34 @@ ORDER BY r_name, n_name
 # training-data pipeline: dedup / text analysis (task brief) on `documents`
 # --------------------------------------------------------------------------
 
+def q_priority_orders_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a left-semi join + group count."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).select("l_orderkey")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_PRIORITY_ORDERS_SEMIJOIN = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on normalized text, keep smallest doc_id
     (the at-scale shape: one shuffle on the hash key; skew-safe because
@@ -885,6 +913,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_forecast": q_revenue_forecast,
     "top_orders_per_segment": q_top_orders_per_segment,
     "revenue_by_nation": q_revenue_by_nation,
+    "priority_orders_semijoin": q_priority_orders_semijoin,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -916,6 +945,7 @@ ORACLES: dict[str, str] = {
     "revenue_forecast": ORACLE_REVENUE_FORECAST,
     "top_orders_per_segment": ORACLE_TOP_ORDERS_PER_SEGMENT,
     "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
+    "priority_orders_semijoin": ORACLE_PRIORITY_ORDERS_SEMIJOIN,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "token_count": ORACLE_TOKEN_COUNT,
     "quality_score": ORACLE_QUALITY_SCORE,
