@@ -157,17 +157,22 @@ def gen_doc_spans(cfg: GenConfig, doc_index: int) -> list[dict[str, Any]]:
         elif roll < 0.76:  # table (+ optional caption/footnote)
             # encoding: rows joined by \n, cells by \t; a row with fewer
             # cells than the widest row means its FIRST cell spans the
-            # missing columns (exercises OTSL lcel span derivation)
+            # missing columns (OTSL lcel); a "^" cell is merged with the
+            # cell above it (OTSL ucel)
             nr, nc = rng.randint(2, 4), rng.randint(2, 4)
             rows = []
-            merged = rng.random() < 0.3
-            for r in range(nr):
-                if r == 0 and merged and nc >= 2:
-                    span = rng.randint(2, nc)
-                    cells = [rng.choice(VOCAB) for _ in range(nc - span + 1)]
-                else:
-                    cells = [rng.choice(VOCAB) for _ in range(nc)]
-                rows.append("\t".join(cells))
+            merge_roll = rng.random()
+            col_merged = merge_roll < 0.15
+            row_merged = 0.15 <= merge_roll < 0.3 and nr >= 3
+            grid = [[rng.choice(VOCAB) for _ in range(nc)] for _ in range(nr)]
+            if col_merged and nc >= 2:
+                span = rng.randint(2, nc)
+                grid[0] = grid[0][: nc - span + 1]
+            elif row_merged:
+                c_star = rng.randrange(nc)
+                r_star = rng.randrange(nr - 2)  # keep the last row unmerged
+                grid[r_star + 1][c_star] = "^"
+            rows = ["\t".join(cells) for cells in grid]
             add(L.TABLE, "\n".join(rows))
             if rng.random() < 0.6:
                 add(L.CAPTION, " ".join(_words(rng, rng.randint(3, 7))))
@@ -288,22 +293,37 @@ def typeset(doc_id: str, spans: list[dict[str, Any]], cfg: GenConfig) -> list[Ty
                     cc = 0
                     for j, wtext in enumerate(row_cells):
                         span = span_first if j == 0 else 1
+                        if wtext == "^":  # merged with the cell above
+                            cc += span
+                            continue
+                        # rows covered: this cell plus consecutive "^"
+                        # below in the same column → a TALL token (ucel)
+                        down = 1
+                        while (
+                            rr + down < n_rows
+                            and span == 1
+                            and j < len(grid_rows[rr + down])
+                            and len(grid_rows[rr + down]) == n_cols
+                            and grid_rows[rr + down][j] == "^"
+                        ):
+                            down += 1
                         cl = x0 + cc * cw + 3.0
                         ct = y + 4.0 + rr * rh
                         if span > 1:
                             cr = cl + span * cw - 6.0  # wide token → lcel span
                         else:
                             cr = cl + max(10.0, min(cw - 6.0, 5.4 * len(wtext)))
+                        cb = ct + (down - 1) * rh + LINE_H
                         cell = {
                             "index": len(page.cells),
                             "text": wtext,
-                            "l": cl, "t": ct, "r": cr, "b": ct + LINE_H,
+                            "l": cl, "t": ct, "r": cr, "b": cb,
                             "from_ocr": False, "confidence": 1.0,
                         }
                         page.cells.append(cell)
                         el.cell_ixs.append(cell["index"])
                         cc += span
-                el.lines = [w for r in grid_rows for w in r]
+                el.lines = [w for r in grid_rows for w in r if w != "^"]
                 page.elements.append(el)
                 y = el.b
             else:  # text-like: one cell per line

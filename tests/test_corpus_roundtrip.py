@@ -18,8 +18,9 @@ def expected_span(s_in):
         return s_in["kind"], "", s_in["media_ref"]
     if s_in["kind"] == L.TABLE:
         # table text = row-major grid serialization (cells \t-separated,
-        # rows \n-separated in the raw input)
-        return s_in["kind"], " ".join(s_in["text"].split()), ""
+        # rows \n-separated in the raw input; "^" = merged-up cell)
+        toks = [t for t in s_in["text"].split() if t != "^"]
+        return s_in["kind"], " ".join(toks), ""
     return s_in["kind"], sanitize_text(s_in["text"].split("\n")), ""
 
 
