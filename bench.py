@@ -97,8 +97,9 @@ def child_extract(cores: int) -> None:
     # best-of-k at every level: min converges to the steady-state floor on
     # both sides of the efficiency ratio, shrugging off host noise
     best = float("inf")
-    repeats = 4 if cores >= 16 else 1  # the long low-core run self-averages;
-    # high-core runs are short and noise-prone, so take the min of several
+    # short high-core runs are noise-prone: min-of-several finds the quiet-
+    # host floor; the long low-core run gets two shots for the same reason
+    repeats = 5 if cores >= 16 else 2
     for _ in range(repeats):
         t0 = time.monotonic()
         _extract(spark, docs)
