@@ -86,12 +86,46 @@ def q_extract_spans_ocr_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column → batched feature
-    extraction (byte stats + frame sampling; codec decode stubbed —
-    rows-only; determinism asserted in tests/test_training_ops.py)."""
+    extraction (byte stats + frame sampling; codec decode stubbed behind
+    a NotImplementedError seam). The payload is sha256-hex bytes of the
+    text, so every feature is md5/sha-expressible in the DuckDB oracle."""
     from .operators import multimodal as MM
 
     docs = _t(spark, sf_dir, "documents")
     return MM.decode_media_batch(MM.synth_media(docs)).orderBy("media_id")
+
+
+# Reproduces decode_media_batch byte-for-byte: payload = utf8 bytes of the
+# sha256 hex string (64 ascii chars); entropy folds distinct byte values in
+# ascending order on BOTH sides.
+ORACLE_MEDIA_FEATURES = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         sha256(text) AS hex,
+         CASE WHEN doc_id % 3 = 2 THEN (doc_id % 90 + 10)::INT ELSE 0 END AS n_frames
+  FROM documents
+),
+c AS (
+  SELECT media_id, media_type, n_frames,
+         list_transform(generate_series(1, 64),
+                        i -> ascii(substr(hex, i::INT, 1))) AS codes
+  FROM m
+)
+SELECT media_id, media_type,
+       64 AS n_bytes,
+       round(list_sum(codes) / 64.0, 6) AS byte_mean,
+       round(-list_sum(list_transform(list_sort(list_distinct(codes)),
+             u -> len(list_filter(codes, x -> x = u)) / 64.0
+                  * log2(len(list_filter(codes, x -> x = u)) / 64.0))), 6)
+         AS byte_entropy,
+       CASE WHEN media_type = 'video'
+            THEN array_to_string(generate_series(0, n_frames - 1, 10), ',')
+            ELSE '' END AS frame_indexes
+FROM c ORDER BY media_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -573,14 +607,18 @@ sh AS (
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     sh = DD.shingles(docs, n=3)
-    return DD.ngram_jaccard_pairs(sh, threshold=0.2).orderBy("a", "b")
+    # max_shingle_df=50: stop-shingle skew guard — a shingle shared by
+    # >=50 docs would fan the equi-join out O(df²) on one key at scale
+    return DD.ngram_jaccard_pairs(sh, threshold=0.2, max_shingle_df=50).orderBy("a", "b")
 
 
 ORACLE_NGRAM_JACCARD = _SHINGLES_CTE + """
-, sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+, dfc AS (SELECT sh, count(*) AS c FROM sh GROUP BY sh),
+shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfc USING (sh) WHERE c < 50),
+sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS nc
-  FROM sh x JOIN sh y USING (sh)
+  FROM shf x JOIN shf y USING (sh)
   WHERE x.doc_id < y.doc_id
   GROUP BY 1, 2
 )
@@ -656,25 +694,13 @@ bits AS (SELECT doc_id, """
 # --------------------------------------------------------------------------
 
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """Near-dup candidate pairs by SimHash hamming distance <= 3 (the
-    lookup side of SimHash dedup; bit_count is JVM-side)."""
+    """Near-dup pairs by SimHash hamming distance <= 3 via pigeonhole
+    banding (4 bands x 4 bits: <=3 differing bits leave >=1 band exact),
+    so the plan is a hash equi-join on (band, bits) — never the O(N²)
+    BroadcastNestedLoopJoin — with EXACTLY the same result set."""
     docs = _t(spark, sf_dir, "documents")
     fp = DD.simhash(docs, bits=16)
-    a = fp.alias("a")
-    b = fp.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("x"),
-            F.col("b.doc_id").alias("y"),
-            ham.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 3)
-        .orderBy("x", "y")
-    )
+    return DD.simhash_band_pairs(fp, bits=16, bands=4, max_hamming=3).orderBy("x", "y")
 
 
 # build on the simhash oracle as a CTE
@@ -786,9 +812,14 @@ SELECT query_id, rk, nbr_id, cosine FROM (
 
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (threshold 0.45: the synthetic
-    embeddings top out at cosine ~0.51, so this yields a real pair set)."""
-    return SIM.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    embeddings top out at cosine ~0.51) through the LSH-banded equi-join
+    scale path. The oracle stays the EXACT brute-force pair set: the band
+    parameters are tuned for 100% recall at this corpus (deterministic
+    md5 planes — asserted vs brute force in tests/test_training_ops.py);
+    the general recall bound is 1-(1-(1-θ/π)^r)^B per pair."""
+    return SIM.banded_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45,
+        bands=32, planes_per_band=4,
     ).orderBy("a", "b")
 
 
@@ -803,11 +834,46 @@ ORDER BY a, b
 
 
 def q_embedding_lsh_ann(spark, sf_dir):
-    """Approximate NN via random-hyperplane LSH buckets (scale path; no
-    SQL oracle — checked by the recall test in tests/)."""
+    """Approximate NN via random-hyperplane LSH buckets (scale path).
+    The md5-derived hyperplane weights are computed driver-side and
+    embedded as literals, so the DuckDB oracle reproduces the exact
+    buckets (and therefore the exact result set)."""
     return SIM.lsh_topk(
         _t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5, n_planes=4
     ).orderBy("query_id", "rk")
+
+
+def _bucket_sql(n_planes: int, dim: int, plane_offset: int = 0) -> str:
+    """DuckDB expression for the sign-bit LSH bucket of column v
+    (DOUBLE[]), sharing SIM.plane_weight literals with the Spark side."""
+    terms = []
+    for i in range(n_planes):
+        w = [SIM.plane_weight(plane_offset + i, d) for d in range(dim)]
+        wlist = "[" + ", ".join(repr(x) for x in w) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {wlist}) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_EMB_DIM = 64  # driver testdata embeddings are 64-d at every SF
+
+ORACLE_EMBEDDING_LSH_ANN = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_bucket_sql(4, _EMB_DIM)} AS bucket FROM base),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM b
+      WHERE vec_id IN ({", ".join(str(i) for i in _ANN_QUERY_IDS)})),
+scored AS (
+  SELECT query_id, b.vec_id AS nbr_id,
+         round(list_cosine_similarity(qv, v), 5) AS cosine
+  FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id != q.query_id
+)
+SELECT query_id, rk, nbr_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, nbr_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5 ORDER BY query_id, rk
+"""
 
 
 # --------------------------------------------------------------------------
@@ -890,15 +956,60 @@ FROM agg ORDER BY page
 
 
 def q_export_markdown(spark, sf_dir):
-    """Markdown rendering of extracted spans (rows-only: input is the
-    pipeline's own output). Pure column expressions — no UDF."""
-    from .corpus import GenConfig
-    from .pipeline import docs_dataframe, extract_spans
+    """Markdown rendering through the real to_markdown operator (the
+    pipeline's export sink), fed driver-table-derived spans so DuckDB
+    can oracle the byte-exact output: each document becomes 7 spans
+    (title/section/list/code/formula/text/page_header) of 5 tokens each,
+    with REVERSED order values so the renderer's array_sort is exercised
+    (page_header must also be dropped as furniture). Pipeline-output
+    rendering itself is covered by tests/test_export_enrichment.py."""
+    from . import labels as L
     from .operators.export import to_markdown
 
-    cfg = GenConfig(seed=42, n_docs=40)
-    docs = docs_dataframe(spark, cfg, num_partitions=8)
-    return to_markdown(extract_spans(spark, docs, cfg)).orderBy("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    kinds = [L.TITLE, L.SECTION_HEADER, L.LIST_ITEM, L.CODE, L.FORMULA,
+             L.TEXT, L.PAGE_HEADER]
+    spans = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("kind"),
+                F.concat_ws(" ", F.slice(toks, i * 5 + 1, 5)).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(len(kinds) - 1 - i).cast("int").alias("order"),
+            )
+            for i, k in enumerate(kinds)
+        ]
+    )
+    # short docs leave trailing spans empty — drop them (both sides)
+    spans = F.filter(spans, lambda s: s["text"] != "")
+    return to_markdown(docs.select("doc_id", spans.alias("spans"))).orderBy("doc_id")
+
+
+ORACLE_EXPORT_MARKDOWN = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id,
+    array_to_string(toks[1:5],   ' ') AS s0,
+    array_to_string(toks[6:10],  ' ') AS s1,
+    array_to_string(toks[11:15], ' ') AS s2,
+    array_to_string(toks[16:20], ' ') AS s3,
+    array_to_string(toks[21:25], ' ') AS s4,
+    array_to_string(toks[26:30], ' ') AS s5
+  FROM t
+)
+SELECT doc_id,
+  concat_ws(chr(10) || chr(10),
+    nullif(coalesce(s5, ''), ''),
+    '$$' || nullif(coalesce(s4, ''), '') || '$$',
+    '```' || chr(10) || nullif(coalesce(s3, ''), '') || chr(10) || '```',
+    '- ' || nullif(coalesce(s2, ''), ''),
+    '## ' || nullif(coalesce(s1, ''), ''),
+    '# ' || nullif(coalesce(s0, ''), '')) AS markdown
+FROM s ORDER BY doc_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -941,6 +1052,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "media_features": ORACLE_MEDIA_FEATURES,
+    "embedding_lsh_ann": ORACLE_EMBEDDING_LSH_ANN,
+    "export_markdown": ORACLE_EXPORT_MARKDOWN,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "revenue_forecast": ORACLE_REVENUE_FORECAST,
     "top_orders_per_segment": ORACLE_TOP_ORDERS_PER_SEGMENT,

@@ -101,10 +101,27 @@ def lsh_candidate_pairs(
 
 
 def ngram_jaccard_pairs(
-    sh: DataFrame, threshold: float = 0.5, round_to: int = 4
+    sh: DataFrame,
+    threshold: float = 0.5,
+    round_to: int = 4,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct-shingle sets via shingle equi-join:
-    |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|."""
+    |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|.
+
+    ``max_shingle_df`` is the stop-shingle skew guard: shingles appearing
+    in >= that many documents are dropped from the universe (both sizes
+    and intersection, so Jaccard stays a true Jaccard over the filtered
+    sets). Without it a single hot shingle ("of the and" in a web corpus)
+    fans the equi-join out to O(df²) rows on one key — the classic
+    shuffle-skew bomb at 100 TB scale."""
+    if max_shingle_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sh_df"))
+        sh = (
+            sh.join(df_counts, "shingle")
+            .filter(F.col("sh_df") < max_shingle_df)
+            .select("doc_id", "shingle")
+        )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.alias("x")
@@ -127,6 +144,52 @@ def ngram_jaccard_pairs(
         )
     )
     return j.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
+def simhash_band_pairs(
+    fp: DataFrame, bits: int = 16, bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """All (x, y) doc pairs with SimHash hamming distance <= max_hamming,
+    via pigeonhole banding: split the ``bits``-bit fingerprint into
+    ``bands`` contiguous bands; any pair differing in <= max_hamming bits
+    leaves at least one band untouched whenever max_hamming < bands, so
+    an equi-join on (band_id, band_bits) finds EVERY qualifying pair —
+    exact, not approximate — and the verify step re-checks the full
+    hamming distance.
+
+    This replaces the O(N²) a<b theta join (a BroadcastNestedLoopJoin):
+    the banded join is a hash join on uniform keys, near-linear at scale."""
+    assert max_hamming < bands, "pigeonhole needs more bands than allowed bit flips"
+    r = bits // bands
+    mask = (1 << r) - 1
+    band_cols = [
+        F.struct(
+            F.lit(s).alias("band"),
+            F.shiftright(F.col("simhash"), s * r).bitwiseAND(F.lit(mask)).alias("bbits"),
+        )
+        for s in range(bands)
+    ]
+    banded = fp.select(
+        "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bh")
+    ).select("doc_id", "simhash", F.col("bh.band").alias("band"), F.col("bh.bbits").alias("bbits"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bbits") == F.col("b.bbits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("x"),
+            F.col("b.doc_id").alias("y"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can match in several bands
+    )
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:

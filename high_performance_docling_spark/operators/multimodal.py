@@ -48,7 +48,10 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.IntegerType(), False),
         T.StructField("byte_mean", T.DoubleType(), False),
         T.StructField("byte_entropy", T.DoubleType(), False),
-        T.StructField("frame_indexes", T.ArrayType(T.IntegerType()), False),
+        # comma-joined string, not array<int>: the driver's canonical
+        # sort/hash needs hashable scalars, and a string column keeps the
+        # whole row SQL-oracle-able
+        T.StructField("frame_indexes", T.StringType(), False),
     ]
 )
 
@@ -86,7 +89,9 @@ def _entropy(data: bytes) -> float:
     for b in data:
         counts[b] = counts.get(b, 0) + 1
     n = len(data)
-    return round(-sum(c / n * math.log2(c / n) for c in counts.values()), 6)
+    # canonical (ascending byte value) summation order so the DuckDB
+    # oracle (list_sort(list_distinct(...))) folds in the same order
+    return round(-sum(c / n * math.log2(c / n) for _, c in sorted(counts.items())), 6)
 
 
 def decode_media_batch(df: DataFrame, real_codecs: bool = False) -> DataFrame:
@@ -107,7 +112,11 @@ def decode_media_batch(df: DataFrame, real_codecs: bool = False) -> DataFrame:
                 data = bytes(payload)
                 n_frames = (meta or {}).get("n_frames") or 0
                 # frame sampling: every 10th frame, deterministic
-                frames = list(range(0, int(n_frames), 10)) if mtype == "video" else []
+                frames = (
+                    ",".join(str(i) for i in range(0, int(n_frames), 10))
+                    if mtype == "video"
+                    else ""
+                )
                 rows.append(
                     {
                         "media_id": int(mid),

@@ -1,17 +1,27 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, mirroring what a 100 TB training-data pipeline needs:
-  - brute_force_topk: exact cosine top-k via a page/bucket-free
-    crossJoin restricted to a (small) query set — the correctness
-    baseline. The dot product is a JVM-side ``aggregate`` over
-    ``zip_with`` (no Python UDF).
-  - lsh_topk: random-hyperplane LSH — deterministic hyperplanes derived
-    from md5 of (plane, dim), sign-bit bucket join, exact cosine only
-    within matching buckets. This is the scale path: candidates per query
-    drop from N to N / 2^planes on average.
+Paths, mirroring what a 100 TB training-data pipeline needs:
+  - brute_force_topk: exact cosine top-k via a broadcast of a (small)
+    query set — the correctness baseline. The dot product is a JVM-side
+    ``aggregate`` over ``zip_with`` (no Python UDF).
+  - hyperplane_buckets / lsh_topk: random-hyperplane LSH. Hyperplane
+    weights are derived from md5(plane:dim) AT PLAN-BUILD TIME (driver
+    side, hashlib) and embedded as literal arrays — deterministic,
+    engine-free, zero per-row hash cost, and reproducible in ANSI SQL so
+    DuckDB can oracle the exact bucket values.
+  - banded_near_dup_pairs: the scale path for threshold pair search —
+    B independent bands of r hyperplanes each; candidates are pairs
+    sharing a full band bucket in ANY band (equi-join on (band, bucket)),
+    then exact-cosine verified. Recall per true pair at angle θ is
+    1 - (1 - (1-θ/π)^r)^B; r trades candidate volume (N²/2^r per band)
+    against recall, so r grows ~log2(N) at scale while B amplifies
+    recall. At the repo's test scale the parameters below are tuned to
+    100% recall (asserted in tests/test_training_ops.py vs brute force).
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
@@ -24,6 +34,148 @@ def _cosine(a, b):
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
     return dot / (na * nb)
+
+
+def plane_weight(p: int, d: int) -> float:
+    """Deterministic hyperplane weight in [-1, 1]: the same 56-bit md5
+    derivation the dedup oracles use (md5(f"{p}:{d}") → % 2001 → /1000),
+    computed driver-side so Spark and DuckDB share exact literals."""
+    h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:14], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def plane_weights(n_planes: int, dim: int, offset: int = 0) -> list[list[float]]:
+    return [[plane_weight(p, d) for d in range(dim)] for p in range(offset, offset + n_planes)]
+
+
+def _infer_dim(emb: DataFrame, vec_col: str) -> int:
+    return len(emb.select(vec_col).first()[0])
+
+
+def _dot_lit(v, weights: list[float]):
+    """JVM-side dot product of an array<double> column with a literal
+    weight vector (left-fold, same order as DuckDB list_dot_product)."""
+    w = F.array(*[F.lit(x) for x in weights])
+    return F.aggregate(
+        F.zip_with(v, w, lambda x, wgt: x * wgt), F.lit(0.0), lambda acc, t: acc + t
+    )
+
+
+def hyperplane_buckets(
+    emb: DataFrame,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    plane_offset: int = 0,
+) -> DataFrame:
+    """Sign-bit LSH bucket per vector (bit p set iff dot(v, plane_p) > 0)."""
+    dim = dim or _infer_dim(emb, vec_col)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = None
+    for i, w in enumerate(plane_weights(n_planes, dim, offset=plane_offset)):
+        bit = F.when(_dot_lit(v, w) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col),
+                      bucket.alias("bucket"))
+
+
+def banded_buckets(
+    emb: DataFrame,
+    bands: int,
+    planes_per_band: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(vec_id, band, bucket) exploded rows: band s uses planes
+    [s*r, (s+1)*r) of the deterministic plane family."""
+    dim = dim or _infer_dim(emb, vec_col)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    band_structs = []
+    for s in range(bands):
+        ws = plane_weights(planes_per_band, dim, offset=s * planes_per_band)
+        bucket = None
+        for i, w in enumerate(ws):
+            bit = F.when(_dot_lit(v, w) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        band_structs.append(
+            F.struct(F.lit(s).alias("band"), bucket.alias("bucket"))
+        )
+    return emb.select(
+        F.col(id_col).alias("vec_id"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def banded_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    bands: int = 32,
+    planes_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 5,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs through LSH banding:
+    candidate (a, b) pairs share a band bucket, then exact cosine >=
+    threshold verifies. Candidates are id-only through the band join
+    (vectors re-joined afterwards) so the band shuffle stays narrow.
+
+    Scale shape: equi-join on (band, bucket) — hash-partitionable,
+    near-linear when planes_per_band ~ log2(N). Never a
+    BroadcastNestedLoopJoin (asserted in tests/test_plans.py)."""
+    dim = _infer_dim(emb, vec_col)
+    bk = banded_buckets(emb, bands, planes_per_band, id_col, vec_col, dim=dim)
+    cand = (
+        bk.alias("x")
+        .join(
+            bk.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .distinct()
+    )
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    return (
+        cand.join(base.select(F.col("vid").alias("a"), F.col("v").alias("va")), "a")
+        .join(base.select(F.col("vid").alias("b"), F.col("v").alias("vb")), "b")
+        .select(
+            "a", "b",
+            F.round(_cosine(F.col("va"), F.col("vb")), round_to).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 5,
+) -> DataFrame:
+    """Exact all-pairs near-dup baseline (theta join — O(N²); kept ONLY
+    as the recall reference for banded_near_dup_pairs in tests; the
+    registered query runs the banded path)."""
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a = base.select(F.col("vid").alias("a"), F.col("v").alias("va"))
+    b = base.select(F.col("vid").alias("b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.round(_cosine(F.col("va"), F.col("vb")), round_to).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def brute_force_topk(
@@ -58,80 +210,6 @@ def brute_force_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "rk", "nbr_id", "cosine")
-    )
-
-
-def hyperplane_buckets(
-    emb: DataFrame,
-    n_planes: int = 6,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Sign-bit LSH bucket per vector. Plane p's weight for dimension d is
-    derived from md5(p:d) mapped to [-1, 1] — deterministic, engine-free."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-
-    def plane_dot(p: int):
-        # weight_d = (h56(p:d) % 2001 - 1000) / 1000 using posexplode-free
-        # transform with index
-        return F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
-                    lambda d: (
-                        F.conv(
-                            F.substring(
-                                F.md5(F.concat_ws(":", F.lit(str(p)), d.cast("string"))),
-                                1,
-                                14,
-                            ),
-                            16,
-                            10,
-                        ).cast("bigint")
-                        % 2001
-                        - 1000
-                    )
-                    / 1000.0,
-                ),
-                lambda x, wgt: x * wgt,
-            ),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-
-    bucket = None
-    for p in range(n_planes):
-        bit = F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col),
-                      bucket.alias("bucket"))
-
-
-def embedding_near_dup_pairs(
-    emb: DataFrame,
-    threshold: float = 0.95,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    round_to: int = 5,
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: (a, b) with a < b and
-    cosine >= threshold. Exact pairwise here (the correctness baseline);
-    the scale path pre-filters pairs through hyperplane_buckets so only
-    same-bucket candidates pay the dot product."""
-    base = emb.select(
-        F.col(id_col).alias("vid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
-    a = base.select(F.col("vid").alias("a"), F.col("v").alias("va"))
-    b = base.select(F.col("vid").alias("b"), F.col("v").alias("vb"))
-    return (
-        a.join(b, F.col("a") < F.col("b"))
-        .select(
-            "a", "b",
-            F.round(_cosine(F.col("va"), F.col("vb")), round_to).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
     )
 
 

@@ -49,3 +49,12 @@ def test_relational_paths_stay_jvm_side(spark):
         p = plan(spark, name)
         assert "Batched: true" in p, name
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_pair_queries_never_nested_loop_join(spark):
+    # VERDICT r1: the simhash / embedding pair queries must be banded
+    # equi-joins, not O(N²) BroadcastNestedLoopJoins
+    for name in ("dedup_simhash_pairs", "dedup_embedding_cosine"):
+        p = plan(spark, name)
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name

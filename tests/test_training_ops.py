@@ -112,9 +112,9 @@ def test_multimodal_plumbing(spark, docs):
         assert r["n_bytes"] == 64  # sha256 hex → 64 bytes
         assert 0.0 <= r["byte_entropy"] <= 8.0
         if r["media_type"] == "video":
-            assert len(r["frame_indexes"]) >= 1
+            assert r["frame_indexes"].startswith("0")  # comma-joined string
         else:
-            assert r["frame_indexes"] == []
+            assert r["frame_indexes"] == ""
     refs = MM.content_address(media).collect()
     assert all(r["media_ref"].startswith("img:") for r in refs)
     # deterministic across runs
@@ -125,3 +125,50 @@ def test_multimodal_plumbing(spark, docs):
 def test_multimodal_real_codec_path_is_guarded(spark, docs):
     with pytest.raises(NotImplementedError):
         MM.decode_media_batch(MM.synth_media(docs.limit(1)), real_codecs=True)
+
+
+def test_banded_near_dup_pairs_full_recall_vs_brute_force(spark):
+    """The registered dedup_embedding_cosine runs the LSH-banded path;
+    its oracle is the exact brute-force pair set, so recall must be 100%
+    on the driver corpus (deterministic md5 planes make this stable)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bf = sorted(
+        (r["a"], r["b"], r["cosine"])
+        for r in SIM.embedding_near_dup_pairs(emb, threshold=0.45).collect()
+    )
+    banded = sorted(
+        (r["a"], r["b"], r["cosine"])
+        for r in SIM.banded_near_dup_pairs(
+            emb, threshold=0.45, bands=32, planes_per_band=4
+        ).collect()
+    )
+    assert banded == bf and len(bf) > 0
+
+
+def test_simhash_band_pairs_equals_all_pairs(spark, docs):
+    fp = DD.simhash(docs.limit(120), bits=16)
+    a, b = fp.alias("a"), fp.alias("b")
+    from pyspark.sql import functions as F
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    brute = sorted(
+        (r["x"], r["y"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"),
+                ham.alias("hamming"))
+        .filter(F.col("hamming") <= 3).collect()
+    )
+    banded = sorted(
+        (r["x"], r["y"], r["hamming"])
+        for r in DD.simhash_band_pairs(fp, bits=16, bands=4, max_hamming=3).collect()
+    )
+    assert banded == brute and len(brute) > 0
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    # a shingle present in every doc is excluded from the universe when
+    # max_shingle_df caps it; jaccard is then over the filtered sets
+    rows = [(i, f"common one two unique{i} alpha beta gamma{i%2}") for i in range(6)]
+    sh = DD.shingles(spark.createDataFrame(rows, ["doc_id", "text"]), n=3)
+    uncapped = DD.ngram_jaccard_pairs(sh, threshold=0.01).collect()
+    capped = DD.ngram_jaccard_pairs(sh, threshold=0.01, max_shingle_df=6).collect()
+    assert len(uncapped) >= len(capped)
