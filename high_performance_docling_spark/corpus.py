@@ -401,6 +401,30 @@ def typeset(doc_id: str, spans: list[dict[str, Any]], cfg: GenConfig) -> list[Ty
 # synthetic layout detections (the fake RT-DETR)
 # --------------------------------------------------------------------------
 
+def element_to_dict(el: TypesetElement) -> dict[str, Any]:
+    """Serialize the fields :func:`synth_detections` reads (the page-image
+    stand-in carried across the staged S1→detect boundary). ``lines`` is
+    deliberately dropped — the detector never reads it."""
+    return {
+        "span_ix": el.span_ix,
+        "label": el.label,
+        "l": el.l, "t": el.t, "r": el.r, "b": el.b,
+        "cell_ixs": list(el.cell_ixs),
+        "scanned": el.scanned,
+    }
+
+
+def element_from_dict(d: dict[str, Any], page_no: int) -> TypesetElement:
+    return TypesetElement(
+        span_ix=int(d["span_ix"]),
+        label=d["label"],
+        page_no=page_no,
+        l=float(d["l"]), t=float(d["t"]), r=float(d["r"]), b=float(d["b"]),
+        cell_ixs=[int(i) for i in d["cell_ixs"]],
+        scanned=bool(d["scanned"]),
+    )
+
+
 def synth_detections(
     doc_id: str, page: TypesetPage, cfg: GenConfig
 ) -> list[dict[str, Any]]:

@@ -38,33 +38,69 @@ def synth_ocr_text(doc_id: str, page_no: int, l: float, t: float, r: float, b: f
     )
 
 
+class SynthOcrModel:
+    """Executor-local singleton 'recognizer'. A real TrOCR load replaces
+    __init__ (gpu_processor.py model init); recognize_batch stays one
+    batched generate() per <=OCR_BATCH_SIZE crops."""
+
+    def __init__(self) -> None:
+        self.n_forward_calls = 0
+
+    def recognize_batch(self, crops: list[tuple[str, int, float, float, float, float]]) -> list[str]:
+        self.n_forward_calls += 1
+        return [synth_ocr_text(*crop) for crop in crops]
+
+
+_OCR_MODEL_SPEC = None
+
+
+def _ocr_model_spec():
+    global _OCR_MODEL_SPEC
+    if _OCR_MODEL_SPEC is None:
+        from ..operators.model_harness import ModelSpec
+
+        _OCR_MODEL_SPEC = ModelSpec(
+            name="synth-ocr",
+            loader=SynthOcrModel,
+            batch_size=OCR_BATCH_SIZE,
+            pad_by_repeat=False,  # CPU stand-in; a static-shape GPU model pads
+        )
+    return _OCR_MODEL_SPEC
+
+
 def apply_ocr(
     meta: list[tuple[str, int]], page_clusters: list[list[dict]]
 ) -> None:
     """Identify OCR regions across a batch of pages (meta = (doc_id,
-    page_no) per entry), run the batched recognizer, join results back
-    onto their clusters (mutates page_clusters). OCR batches form across
-    documents, like the reference's cross-page batching."""
+    page_no) per entry), run the batched recognizer through the model
+    harness (executor-local singleton, fixed 32-crop batches —
+    gpu_processor.py:236-258), join results back onto their clusters
+    (mutates page_clusters). OCR batches form across documents, like the
+    reference's cross-page batching."""
+    from ..operators.model_harness import FixedBatcher
+
     tasks: list[tuple[int, dict]] = []
     for pi, clusters in enumerate(page_clusters):
         for cluster in clusters:
             if cluster["label"] in OCR_TEXT_LABELS and len(cluster["cells"]) == 0:
                 tasks.append((pi, cluster))
-    for start in range(0, len(tasks), OCR_BATCH_SIZE):
-        batch = tasks[start : start + OCR_BATCH_SIZE]
-        # a neural recognizer would run ONE batched generate() here
-        for pi, cl in batch:
-            doc_id, page_no = meta[pi]
-            text = synth_ocr_text(doc_id, page_no, cl["l"], cl["t"], cl["r"], cl["b"])
-            cl["cells"].append(
-                {
-                    "index": _OCR_CELL_INDEX_BASE + int(cl["id"]),
-                    "text": text,
-                    "l": cl["l"], "t": cl["t"], "r": cl["r"], "b": cl["b"],
-                    "from_ocr": True,
-                    "confidence": 0.9,
-                }
-            )
+    if not tasks:
+        return
+    batcher = FixedBatcher(_ocr_model_spec(), SynthOcrModel.recognize_batch)
+    crops = [
+        (meta[pi][0], meta[pi][1], cl["l"], cl["t"], cl["r"], cl["b"])
+        for pi, cl in tasks
+    ]
+    for (pi, cl), text in zip(tasks, batcher.run(crops)):
+        cl["cells"].append(
+            {
+                "index": _OCR_CELL_INDEX_BASE + int(cl["id"]),
+                "text": text,
+                "l": cl["l"], "t": cl["t"], "r": cl["r"], "b": cl["b"],
+                "from_ocr": True,
+                "confidence": 0.9,
+            }
+        )
 
 
 def process_page_batch(

@@ -232,14 +232,49 @@ def attach_table_structures(pages_clusters: list[list[dict]]) -> None:
             }
 
 
+class GeometricTableDecoder:
+    """Executor-local singleton 'model' for table structure. A real
+    TableFormer load (weights + compile, tf_predictor.py init) replaces
+    __init__; decode_batch stays one batched forward per <=MAX_TABLE_BATCH
+    items (tablemodel04_rs.py:186-202 dynamic chunking)."""
+
+    def __init__(self) -> None:
+        self.n_forward_calls = 0
+
+    def decode_batch(self, items: list[dict[str, Any]]) -> list[dict[str, Any] | None]:
+        self.n_forward_calls += 1
+        return [
+            table_structure_for_tokens(it["table_bbox"], it["tokens"]) for it in items
+        ]
+
+
+_TABLE_MODEL_SPEC = None
+
+
+def _table_model_spec():
+    global _TABLE_MODEL_SPEC
+    if _TABLE_MODEL_SPEC is None:
+        from ..operators.model_harness import ModelSpec
+
+        # pad_by_repeat=False: this decoder is a CPU kernel — padding
+        # would burn real work; a CUDA-graph decoder flips it to True
+        _TABLE_MODEL_SPEC = ModelSpec(
+            name="geometric-table-decoder",
+            loader=GeometricTableDecoder,
+            batch_size=MAX_TABLE_BATCH,
+            pad_by_repeat=False,
+        )
+    return _TABLE_MODEL_SPEC
+
+
 def decode_tables_batch(work_items: list[dict[str, Any]]) -> list[dict[str, Any] | None]:
-    """Batched entry point (model-swap seam): processes work items in
-    chunks of MAX_TABLE_BATCH, mirroring the reference's dynamic chunking.
+    """Batched entry point (model-swap seam): the executor-local singleton
+    decoder (model harness) processes work items in fixed chunks of
+    MAX_TABLE_BATCH, mirroring the reference's dynamic chunking.
     Each item: {"table_bbox": [...], "tokens": [...]}."""
-    out: list[dict[str, Any] | None] = []
-    for start in range(0, len(work_items), MAX_TABLE_BATCH):
-        chunk = work_items[start : start + MAX_TABLE_BATCH]
-        # a neural decoder would run ONE batched forward pass here
-        for item in chunk:
-            out.append(table_structure_for_tokens(item["table_bbox"], item["tokens"]))
-    return out
+    from ..operators.model_harness import FixedBatcher
+
+    if not work_items:
+        return []
+    batcher = FixedBatcher(_table_model_spec(), GeometricTableDecoder.decode_batch)
+    return batcher.run(work_items)

@@ -31,11 +31,24 @@ from typing import Any
 
 import pandas as pd
 
-from ..corpus import GenConfig, synth_detections, typeset
+from ..corpus import (
+    GenConfig,
+    TypesetPage,
+    element_from_dict,
+    element_to_dict,
+    synth_detections,
+    typeset,
+)
 from ..kernels.assemble import assemble_page_elements
 from ..kernels.convert import process_page_batch, process_parsed_batch
 from ..kernels.reading_order import assemble_spans
-from ..schemas import ELEMENTS_SCHEMA, PAGES_SCHEMA, SPANS_OUT_SCHEMA
+from ..schemas import (
+    ELEMENTS_SCHEMA,
+    PAGES_SCHEMA,
+    PARSED_PAGES_SCHEMA,
+    SPANS_OUT_SCHEMA,
+)
+from .model_harness import ModelSpec, arrow_model_stage
 
 
 def _write_lineage(lineage_dir: str | None, stage: str, n_in: int, n_out: int, t0: float) -> None:
@@ -66,17 +79,24 @@ def _write_lineage(lineage_dir: str | None, stage: str, n_in: int, n_out: int, t
 # S1: parse — docs → pages (the synthetic "PDF backend" scan)
 # --------------------------------------------------------------------------
 
-def parse_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None):
-    """(doc_id, spans[]) → one row per page with cells + raw detections.
+def parse_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None,
+                with_detections: bool = True):
+    """(doc_id, spans[]) → one row per page.
 
-    Reference analogue: per-page load/parse + layout predictor invocation
-    (lambda_preprocessor.py:15-44 + layout_predictor_gpu.py:253-315); the
-    neural detector is replaced by the deterministic synthetic detector,
-    batching semantics preserved (whole Arrow batch per call).
+    with_detections=True (legacy single-stage form): cells + raw
+    detections, the synthetic detector invoked inline.
+    with_detections=False (staged model path): cells + typeset `elements`
+    (this corpus's stand-in for the rendered page image); detection runs
+    in the separate :func:`detect_stage` model stage.
+
+    Reference analogue: per-page load/parse (lambda_preprocessor.py:15-44);
+    the detect stage mirrors layout_predictor_gpu.py:253-315.
     """
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t0 = time.monotonic()
         n_in = n_out = 0
+        cols = ["doc_id", "page_no", "width", "height", "cells",
+                "detections" if with_detections else "elements"]
         for pdf in batches:
             rows: list[dict[str, Any]] = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
@@ -85,25 +105,88 @@ def parse_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None):
                 span_list.sort(key=lambda s: s["offset"])
                 pages = typeset(doc_id, span_list, cfg)
                 for page in pages:
-                    dets = synth_detections(doc_id, page, cfg)
-                    rows.append(
-                        {
-                            "doc_id": doc_id,
-                            "page_no": page.page_no,
-                            "width": page.width,
-                            "height": page.height,
-                            "cells": page.cells,
-                            "detections": dets,
-                        }
-                    )
+                    row = {
+                        "doc_id": doc_id,
+                        "page_no": page.page_no,
+                        "width": page.width,
+                        "height": page.height,
+                        "cells": page.cells,
+                    }
+                    if with_detections:
+                        row["detections"] = synth_detections(doc_id, page, cfg)
+                    else:
+                        row["elements"] = [element_to_dict(e) for e in page.elements]
+                    rows.append(row)
             n_out += len(rows)
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "page_no", "width", "height", "cells", "detections"],
-            )
+            yield pd.DataFrame(rows, columns=cols)
         _write_lineage(lineage_dir, "parse", n_in, n_out, t0)
 
-    return docs_df.mapInPandas(fn, PAGES_SCHEMA)
+    return docs_df.mapInPandas(
+        fn, PAGES_SCHEMA if with_detections else PARSED_PAGES_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# S2: layout detection — a batched model stage through the generic harness
+# --------------------------------------------------------------------------
+
+class SynthLayoutDetector:
+    """Executor-local singleton 'model'. A real deployment replaces this
+    class with the RT-DETR load (weights, processor, warm-up —
+    layout_predictor_gpu.py:92-137) and predict_batch with one batched
+    forward; the Spark stage around it does not change."""
+
+    def __init__(self, cfg: GenConfig):
+        self.cfg = cfg
+        self.n_forward_calls = 0
+
+    def predict_batch(self, items: list[tuple[str, TypesetPage]]) -> list[list[dict]]:
+        # ONE batched forward pass per call (the GPU-inference slot)
+        self.n_forward_calls += 1
+        return [synth_detections(doc_id, page, self.cfg) for doc_id, page in items]
+
+
+def detect_stage(parsed_df, cfg: GenConfig, lineage_dir: str | None = None,
+                 batch_size: int = 32):
+    """Parsed pages (with typeset `elements`) → pages with detections.
+
+    Runs through the generic model harness: executor-local lazy singleton
+    detector, pages accumulated across Arrow record batches into
+    fixed-size ``batch_size`` model calls, tail padded by repeating the
+    last page (layout_predictor_gpu.py:267-275 semantics)."""
+    spec = ModelSpec(
+        name=f"synth-layout-detector:{cfg.seed}:{cfg.n_docs}",
+        loader=lambda: SynthLayoutDetector(cfg),
+        batch_size=batch_size,
+        pad_by_repeat=True,  # a CUDA-graph model needs static batch shape
+    )
+
+    def item_fn(row: dict) -> tuple[str, TypesetPage]:
+        page = TypesetPage(
+            page_no=int(row["page_no"]),
+            width=float(row["width"]),
+            height=float(row["height"]),
+            cells=[],
+            elements=[element_from_dict(d, int(row["page_no"]))
+                      for d in row["elements"]],
+        )
+        return (row["doc_id"], page)
+
+    def forward(model: SynthLayoutDetector, items: list) -> list:
+        return model.predict_batch(items)
+
+    def result_fn(row: dict, dets: list[dict]) -> dict:
+        return {
+            "doc_id": row["doc_id"],
+            "page_no": row["page_no"],
+            "width": row["width"],
+            "height": row["height"],
+            "cells": row["cells"],
+            "detections": dets,
+        }
+
+    return arrow_model_stage(parsed_df, spec, item_fn, forward, result_fn,
+                             PAGES_SCHEMA)
 
 
 # --------------------------------------------------------------------------

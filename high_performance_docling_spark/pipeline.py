@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .corpus import GenConfig, generate_doc
 from .operators.stages import (
     convert_stage,
+    detect_stage,
     doc_assemble_stage,
     doc_fused_stage,
     layout_stage,
@@ -120,6 +121,7 @@ def extract_spans(
     lineage_dir: str | None = None,
     page_partitions: int | None = None,
     mode: str = "fused",
+    input_partitions: int | None = None,
 ) -> DataFrame:
     """Full S0→S7 pipeline.
 
@@ -137,8 +139,17 @@ def extract_spans(
     # cores (tiny corpus or in-memory DF), fan out once. The shuffle is
     # not free (the spans payload moves), so the primary lever is the
     # small files.maxPartitionBytes set in get_spark; this is the backstop.
+    # Partition count comes from (in order): the caller's hint, the file
+    # split count, and only as a last resort the RDD-conversion probe
+    # (df.rdd builds a conversion plan per call — avoid it when possible).
     target = spark.sparkContext.defaultParallelism
-    if docs_df.rdd.getNumPartitions() < target:
+    n_parts = input_partitions
+    if n_parts is None:
+        files = docs_df.inputFiles()
+        n_parts = len(files) if files else None
+    if n_parts is None:
+        n_parts = docs_df.rdd.getNumPartitions()
+    if n_parts < target:
         docs_df = docs_df.repartition(target * 2, "doc_id")
 
     if checkpoint_dir is None and mode == "fused":
@@ -151,12 +162,25 @@ def extract_spans(
         elements = convert_stage(docs_df, cfg, lineage_dir)
         return doc_assemble_stage(elements, lineage_dir)
 
-    pages = _checkpoint_stage(
+    # Checkpointed staged path: parse → detect (model stage) → layout,
+    # each materialized to parquet so no two Python stages chain in one
+    # job (the 2-workers-per-slot oversubscription pitfall) and each is
+    # independently resumable. The detect stage runs through the generic
+    # model harness (executor-local singleton, fixed 32-page batches) —
+    # on a real cluster it is the stage you'd schedule on GPU executors.
+    parsed = _checkpoint_stage(
         spark,
         docs_df,
-        lambda df: parse_stage(df, cfg, lineage_dir),
-        os.path.join(checkpoint_dir, "pages"),
+        lambda df: parse_stage(df, cfg, lineage_dir, with_detections=False),
+        os.path.join(checkpoint_dir, "parsed"),
         ["doc_id"],
+    )
+    pages = _checkpoint_stage(
+        spark,
+        parsed,
+        lambda df: detect_stage(df, cfg, lineage_dir),
+        os.path.join(checkpoint_dir, "pages"),
+        ["doc_id", "page_no"],
     )
     if page_partitions:
         pages = pages.repartition(page_partitions, "doc_id", "page_no")

@@ -61,6 +61,34 @@ PAGES_SCHEMA = T.StructType(
     ]
 )
 
+# S1a — parsed pages BEFORE layout detection: `elements` is the typeset
+# ground truth the synthetic detector consumes, i.e. this corpus's stand-in
+# for the rendered page image a real RT-DETR stage would read. The staged
+# pipeline materializes this boundary so the detect stage is a separate,
+# checkpointable, GPU-batchable model stage (layout_predictor_gpu.py role).
+TYPESET_ELEMENT_STRUCT = T.StructType(
+    [
+        T.StructField("span_ix", T.IntegerType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("l", T.DoubleType(), False),
+        T.StructField("t", T.DoubleType(), False),
+        T.StructField("r", T.DoubleType(), False),
+        T.StructField("b", T.DoubleType(), False),
+        T.StructField("cell_ixs", T.ArrayType(T.IntegerType()), False),
+        T.StructField("scanned", T.BooleanType(), False),
+    ]
+)
+PARSED_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("page_no", T.IntegerType(), False),
+        T.StructField("width", T.DoubleType(), False),
+        T.StructField("height", T.DoubleType(), False),
+        T.StructField("cells", T.ArrayType(CELL_STRUCT), False),
+        T.StructField("elements", T.ArrayType(TYPESET_ELEMENT_STRUCT), False),
+    ]
+)
+
 # S3+S6 — assembled page elements (reference AssembledUnit per page,
 # base_models.py:243-246; children flattened one level, SURVEY.md §1.1).
 CHILD_STRUCT = T.StructType(
