@@ -118,7 +118,7 @@ def process_page_batch(
     ]
     if cfg.keep_empty_clusters:
         apply_ocr([(doc_id, p.page_no) for doc_id, p in items], page_clusters)
-    attach_table_structures(page_clusters)
+    attach_table_structures(page_clusters, [p.cells for _, p in items])
     return page_clusters
 
 
@@ -135,5 +135,5 @@ def process_parsed_batch(rows: list[dict], cfg: GenConfig) -> list[list[dict]]:
     ]
     if cfg.keep_empty_clusters:
         apply_ocr([(r["doc_id"], r["page_no"]) for r in rows], page_clusters)
-    attach_table_structures(page_clusters)
+    attach_table_structures(page_clusters, [r["cells"] for r in rows])
     return page_clusters

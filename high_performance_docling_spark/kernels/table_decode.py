@@ -192,21 +192,69 @@ def serialize_table_text(tf_cells: list[dict]) -> str:
     return " ".join(parts)
 
 
-def attach_table_structures(pages_clusters: list[list[dict]]) -> None:
+def gather_table_tokens(
+    table_bbox: list[float], page_cells: list[dict[str, Any]], ios: float = 0.8
+) -> list[dict[str, Any]]:
+    """Table-token lookup with the reference's word-index semantics
+    (page_word_index.py:80-126 query_bbox + table_structure_model.py:301-341
+    _get_table_tokens): a token belongs to the table when IoS(word, table
+    bbox) >= 0.8 over ALL page words — NOT when the word was argmax-assigned
+    to the table cluster. A word overlapping the table but claimed by a
+    neighboring cluster is still captured (VERDICT r1 parity fix).
+
+    Whitespace handling matches :114-120: empty/space-only words skipped,
+    leading/trailing space stripped. The reference accelerates the scan
+    with a uniform grid; at our page sizes a linear pass per table is
+    faster than building the index (same result, order = word index
+    order, as np.unique over candidate ids yields ascending ids)."""
+    ql, qt, qr, qb = table_bbox
+    out: list[dict[str, Any]] = []
+    for c in page_cells:
+        l, t, r, b = c["l"], c["t"], c["r"], c["b"]
+        iw = min(r, qr) - max(l, ql)
+        ih = min(b, qb) - max(t, qt)
+        if iw <= 0 or ih <= 0:
+            continue
+        if iw * ih / ((r - l) * (b - t) + 1e-6) < ios:
+            continue
+        text = c["text"]
+        if not text or text.isspace():
+            continue
+        if text[0].isspace() or text[-1].isspace():
+            text = text.strip()
+        out.append({"id": c["index"], "text": text, "bbox": [l, t, r, b]})
+    return out
+
+
+def attach_table_structures(
+    pages_clusters: list[list[dict]],
+    pages_cells: list[list[dict]] | None = None,
+) -> None:
     """Run S5 for every table cluster across a batch of pages (mirrors the
     reference's cross-table batching: tables from many pages share model
     batches, table_structure_model.py:155-278 + tf_predictor
     multi_table_predict). Mutates clusters in place: sets ``table_text``
     and ``table_struct`` on decodable tables; undecodable ones fall back
     to the assembly's sanitize-join (page_assemble_model.py:114-123
-    empty-Table fallback)."""
+    empty-Table fallback).
+
+    ``pages_cells`` (one word list per page) enables the reference's
+    IoS>=0.8 word-index token gathering; when absent, falls back to the
+    cluster's assigned cells (table_structure_model.py:313-317 fallback)."""
     from ..labels import TABLE_LABELS
 
     work: list[dict[str, Any]] = []
     refs: list[dict] = []
-    for clusters in pages_clusters:
+    for pi, clusters in enumerate(pages_clusters):
+        page_cells = pages_cells[pi] if pages_cells is not None else None
         for cl in clusters:
-            if cl["label"] in TABLE_LABELS and cl["cells"]:
+            if cl["label"] not in TABLE_LABELS:
+                continue
+            if page_cells is not None:
+                tokens = gather_table_tokens(
+                    [cl["l"], cl["t"], cl["r"], cl["b"]], page_cells
+                )
+            else:
                 tokens = [
                     {
                         "id": c["index"],
@@ -215,13 +263,15 @@ def attach_table_structures(pages_clusters: list[list[dict]]) -> None:
                     }
                     for c in cl["cells"]
                 ]
-                work.append(
-                    {
-                        "table_bbox": [cl["l"], cl["t"], cl["r"], cl["b"]],
-                        "tokens": tokens,
-                    }
-                )
-                refs.append(cl)
+            if not tokens:
+                continue
+            work.append(
+                {
+                    "table_bbox": [cl["l"], cl["t"], cl["r"], cl["b"]],
+                    "tokens": tokens,
+                }
+            )
+            refs.append(cl)
     for cl, result in zip(refs, decode_tables_batch(work)):
         if result is not None:
             cl["table_text"] = result["text"]

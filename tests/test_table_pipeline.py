@@ -198,3 +198,57 @@ def test_table_structure_rowspan_text_roundtrip():
     out = table_structure_for_tokens([0, 0, 100, 40], tokens)
     assert out["text"] == "tall a b"
     assert (out["num_rows"], out["num_cols"]) == (2, 2)
+
+
+def test_gather_table_tokens_ios_word_index_semantics():
+    """VERDICT r1 parity fix: table tokens come from an IoS>=0.8 lookup of
+    ALL page words against the table bbox (page_word_index.py:80-126), not
+    from the cluster's argmax-assigned cells — a word overlapping the
+    table but claimed by a neighboring cluster is still captured."""
+    from high_performance_docling_spark.kernels.layout_postprocess import (
+        postprocess_page,
+    )
+    from high_performance_docling_spark.kernels.table_decode import (
+        attach_table_structures,
+        gather_table_tokens,
+    )
+
+    table_bbox = [100.0, 100.0, 300.0, 200.0]
+    # word straddling the table's left edge: IoS vs table = 35/40 = 0.875
+    # (>= 0.8 → word-index token) but fully inside a TEXT cluster that
+    # extends left of the table (IoS 1.0 → wins the argmax assignment)
+    straddler = {"index": 99, "text": "straddler", "l": 95.0, "t": 105.0,
+                 "r": 135.0, "b": 115.0, "from_ocr": False, "confidence": 1.0}
+    # anchor word keeps the TEXT cluster's cell envelope mostly outside the
+    # table, so special-containment doesn't swallow the cluster
+    anchor = {"index": 98, "text": "anchor", "l": 60.0, "t": 105.0,
+              "r": 92.0, "b": 115.0, "from_ocr": False, "confidence": 1.0}
+    in_table = [
+        {"index": i, "text": f"w{i}", "l": 110.0 + 60 * (i % 3),
+         "t": 130.0 + 25 * (i // 3), "r": 150.0 + 60 * (i % 3),
+         "b": 140.0 + 25 * (i // 3), "from_ocr": False, "confidence": 1.0}
+        for i in range(6)
+    ]
+    cells = [anchor, straddler] + in_table
+    detections = [
+        # TEXT cluster covering the straddler, mostly OUTSIDE the table
+        # (IoS vs table 0.5) so dedup/containment keeps it as a separate
+        # cluster and the word argmaxes to it (IoS 1.0 > 0.875)
+        {"id": 0, "label": "text", "l": 60.0, "t": 103.0, "r": 140.0,
+         "b": 117.0, "confidence": 0.95},
+        {"id": 1, "label": "table", "l": table_bbox[0], "t": table_bbox[1],
+         "r": table_bbox[2], "b": table_bbox[3], "confidence": 0.9},
+    ]
+    clusters = postprocess_page(400.0, 400.0, cells, detections)
+    tbl = next(c for c in clusters if c["label"] == "table")
+    assigned_ids = {c["index"] for c in tbl["cells"]}
+    tokens = gather_table_tokens(table_bbox, cells)
+    token_ids = {t["id"] for t in tokens}
+    # the straddler is NOT argmax-assigned to the table, yet IS a token
+    assert 99 not in assigned_ids
+    assert 99 in token_ids
+    assert {c["index"] for c in in_table} <= token_ids
+    # and the full attach path uses the word-index gathering
+    pages_clusters = [clusters]
+    attach_table_structures(pages_clusters, [cells])
+    assert "straddler" in tbl["table_text"]
