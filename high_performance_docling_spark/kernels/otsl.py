@@ -25,6 +25,43 @@ from itertools import groupby
 EMITTING_TAGS = ("fcel", "ecel", "xcel", "ched", "rhed", "srow")
 
 
+class OtslCorrector:
+    """Per-step OTSL grammar corrections, as the reference's batched AR
+    decoder applies them on-GPU before bbox-emission decisions
+    (fork/table/batched_decoder.py:158-166, state updates :259-264):
+
+      1. first line (before any nl): xcel → lcel — an xcel on row 0 has no
+         up-row to continue, so it must be a left-merge;
+      2. lcel immediately after a ucel → fcel — a left-merge into an
+         up-merge continuation is ambiguous, so it becomes a fresh cell.
+
+    A real TableFormer emits such illegal tags constantly; the synthetic
+    geometric decoder never does (corrections are identity on its legal
+    streams), but the hook sits at the same point in the decode loop so a
+    neural decoder slots in with corrections already wired. ``prev_ucel``
+    and ``line_num`` track the CORRECTED tag stream (:259, :264)."""
+
+    def __init__(self) -> None:
+        self.line_num = 0
+        self.prev_ucel = False
+
+    def step(self, tag: str) -> str:
+        if self.line_num == 0 and tag == "xcel":  # :159-161
+            tag = "lcel"
+        if self.prev_ucel and tag == "lcel":  # :164-166
+            tag = "fcel"
+        self.prev_ucel = tag == "ucel"  # :259
+        if tag == "nl":  # :264
+            self.line_num += 1
+        return tag
+
+
+def correct_otsl_sequence(tags: list[str]) -> list[str]:
+    """Apply the per-step grammar corrections to a whole tag sequence."""
+    corr = OtslCorrector()
+    return [corr.step(t) for t in tags]
+
+
 def otsl_square(rs_list: list[str]) -> bool:
     """All OTSL rows equal length (tf_predictor.py:50-84)."""
     rows = [list(g) for k, g in groupby(rs_list, lambda x: x == "nl") if not k]

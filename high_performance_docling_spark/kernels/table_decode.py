@@ -21,11 +21,12 @@ from __future__ import annotations
 
 from typing import Any
 
-from .otsl import build_table_cells, check_bbox_sync, translate_bboxes
+from .otsl import OtslCorrector, build_table_cells, check_bbox_sync, translate_bboxes
 from .table_match import (
     compact_row_col_indexes,
     generate_tf_response,
     iopdf_match,
+    iou_match,
     matching_post_process,
     merge_tf_output,
 )
@@ -105,6 +106,11 @@ def geometric_table_decode(
     otsl: list[str] = []
     bboxes: list[list[float]] = []
     classes: list[int] = []
+    # Per-step grammar corrections at the same point in the decode loop
+    # where the reference applies them (batched_decoder.py:158-166): the
+    # corrected tag decides bbox emission. Identity on this decoder's
+    # legal streams; load-bearing once a neural AR decoder slots in.
+    corrector = OtslCorrector()
 
     def norm(b):
         return [
@@ -120,19 +126,23 @@ def geometric_table_decode(
             if origin is not None and origin != (r, c):
                 orow, ocol = origin
                 if orow == r:
-                    otsl.append("lcel")  # left-merge continuation
+                    tag = "lcel"  # left-merge continuation
                 elif ocol == c:
-                    otsl.append("ucel")  # up-merge continuation
+                    tag = "ucel"  # up-merge continuation
                 else:
-                    # xcel is an emitting tag (tf_cell_matcher.py:381):
-                    # it consumes a bbox/class slot like the reference
-                    otsl.append("xcel")
+                    tag = "xcel"
+                tag = corrector.step(tag)
+                otsl.append(tag)
+                if tag in ("xcel", "fcel"):
+                    # xcel is an emitting tag (tf_cell_matcher.py:381): it
+                    # consumes a bbox/class slot; a corrected ucel+lcel→fcel
+                    # emits its origin's box like the AR decoder's bbox head
                     bboxes.append(norm(grid[orow][ocol]["token"]["bbox"]))
                     classes.append(2)
                 continue
             slot = grid[r][c]
             if slot is None:
-                otsl.append("ecel")
+                otsl.append(corrector.step("ecel"))
                 # empty slot bbox: the grid cell extent
                 x1 = col_pos[c]
                 x2 = col_pos[c + 1] if c + 1 < n_cols else tr
@@ -142,19 +152,24 @@ def geometric_table_decode(
                 classes.append(0)
             else:
                 tag = "ched" if r == 0 and n_rows > 1 else "fcel"
-                otsl.append(tag)
+                otsl.append(corrector.step(tag))
                 bboxes.append(norm(slot["token"]["bbox"]))
                 classes.append(2)
-        otsl.append("nl")
+        otsl.append(corrector.step("nl"))
     return otsl, bboxes, classes
 
 
 def table_structure_for_tokens(
-    table_bbox: list[float], tokens: list[dict[str, Any]]
+    table_bbox: list[float], tokens: list[dict[str, Any]],
+    matcher: str = "iopdf", iou_thres: float = 0.05,
 ) -> dict[str, Any] | None:
     """Full S5 for one table: decode → build cells → match → post-process →
     respond → merge → compact. Returns {"tf_cells", "num_rows",
-    "num_cols", "otsl_seq", "text"} or None when undecodable."""
+    "num_cols", "otsl_seq", "text"} or None when undecodable.
+
+    ``matcher``: "iopdf" (default, the reference's active path) or "iou"
+    (the tf_cell_matcher.py:564-640 alternative behind the
+    pdf_cell_iou_thres config)."""
     if not tokens:
         return None
     otsl_seq, norm_bboxes, classes = geometric_table_decode(table_bbox, tokens)
@@ -163,7 +178,10 @@ def table_structure_for_tokens(
     _sync, norm_bboxes = check_bbox_sync(otsl_seq, norm_bboxes)  # tf_predictor.py:789
     page_bboxes = translate_bboxes(table_bbox, norm_bboxes)
     table_cells = build_table_cells(otsl_seq, page_bboxes, classes)
-    matches = iopdf_match(table_cells, tokens)
+    if matcher == "iou":
+        matches, _n = iou_match(table_cells, tokens, iou_thres)
+    else:
+        matches = iopdf_match(table_cells, tokens)
     cells_out, final_matches = matching_post_process(table_cells, tokens, matches)
     responses = generate_tf_response(cells_out, final_matches)
     responses.sort(key=lambda item: item["cell_id"])  # tf_predictor.py:845

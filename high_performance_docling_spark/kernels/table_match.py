@@ -54,6 +54,45 @@ def iopdf_match(table_cells: list[dict], pdf_cells: list[dict]) -> dict[str, lis
     return matches
 
 
+def iou_match(
+    table_cells: list[dict], pdf_cells: list[dict], iou_thres: float = 0.05
+) -> tuple[dict[str, list[dict]], int]:
+    """IoU matching alternative (tf_cell_matcher.py:564-640 _iou_match,
+    the parity option behind config["predict"]["pdf_cell_iou_thres"]):
+    keeps EVERY (table_cell, pdf_cell) pair whose IoU >= threshold — a pdf
+    cell can match several table cells, unlike iopdf_match's argmax.
+    Returns ({pdf_id(str): [{"table_cell_id", "iou", "text"}]}, counter)."""
+    if not table_cells or not pdf_cells:
+        return {}, 0
+    tb = np.array([t["bbox"] for t in table_cells], dtype=np.float64)  # (T,4)
+    pb = np.array([p["bbox"] for p in pdf_cells], dtype=np.float64)  # (P,4)
+    t_areas = (tb[:, 2] - tb[:, 0]) * (tb[:, 3] - tb[:, 1])
+    p_areas = (pb[:, 2] - pb[:, 0]) * (pb[:, 3] - pb[:, 1])
+    ix1 = np.maximum(tb[:, None, 0], pb[None, :, 0])
+    iy1 = np.maximum(tb[:, None, 1], pb[None, :, 1])
+    ix2 = np.minimum(tb[:, None, 2], pb[None, :, 2])
+    iy2 = np.minimum(tb[:, None, 3], pb[None, :, 3])
+    iw = ix2 - ix1
+    ih = iy2 - iy1
+    inter = np.where((iw > 0) & (ih > 0), iw * ih, 0.0)  # find_intersection None
+    div = t_areas[:, None] + p_areas[None, :] - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iou = np.where(div > 0, inter / np.maximum(div, 1e-300), 0.0)
+    matches: dict[str, list[dict]] = {}
+    counter = 0
+    for i, tc in enumerate(table_cells):  # table-major order (:604)
+        for j in np.where((inter[i] > 0) & (iou[i] >= iou_thres))[0]:
+            matches.setdefault(str(pdf_cells[int(j)]["id"]), []).append(
+                {
+                    "table_cell_id": int(tc["cell_id"]),
+                    "iou": float(iou[i, int(j)]),
+                    "text": pdf_cells[int(j)]["text"],
+                }
+            )
+            counter += 1
+    return matches, counter
+
+
 # --------------------------------------------------------------------------
 # matching post-processor steps (matching_post_processor.py)
 # --------------------------------------------------------------------------

@@ -252,3 +252,54 @@ def test_gather_table_tokens_ios_word_index_semantics():
     pages_clusters = [clusters]
     attach_table_structures(pages_clusters, [cells])
     assert "straddler" in tbl["table_text"]
+
+
+def test_otsl_grammar_corrections():
+    """batched_decoder.py:158-166: first-line xcel→lcel; lcel right after
+    a ucel → fcel. State (prev_ucel, line_num) tracks the CORRECTED tags."""
+    from high_performance_docling_spark.kernels.otsl import correct_otsl_sequence
+
+    # illegal xcel on the first line is rewritten to lcel
+    assert correct_otsl_sequence(["fcel", "xcel", "nl", "fcel", "fcel", "nl"]) == [
+        "fcel", "lcel", "nl", "fcel", "fcel", "nl"]
+    # xcel after the first nl is legal and kept
+    assert correct_otsl_sequence(["fcel", "lcel", "nl", "ucel", "xcel", "nl"]) == [
+        "fcel", "lcel", "nl", "ucel", "xcel", "nl"]
+    # ucel followed by lcel becomes fcel
+    assert correct_otsl_sequence(["fcel", "fcel", "nl", "ucel", "lcel", "nl"]) == [
+        "fcel", "fcel", "nl", "ucel", "fcel", "nl"]
+    # corrected tag updates state: first-line xcel→lcel does NOT then
+    # become fcel (prev tag was fcel, not ucel); chain checks
+    assert correct_otsl_sequence(["ucel", "lcel", "lcel"]) == [
+        "ucel", "fcel", "lcel"]
+
+
+def test_iou_match_alternative():
+    """tf_cell_matcher.py:564-640: IoU keeps EVERY pair >= threshold (a pdf
+    cell may match several table cells), unlike iopdf_match's argmax."""
+    from high_performance_docling_spark.kernels.table_match import (
+        iopdf_match,
+        iou_match,
+    )
+
+    table_cells = [
+        {"cell_id": 0, "row_id": 0, "column_id": 0, "bbox": [0, 0, 10, 10], "label": "fcel"},
+        {"cell_id": 1, "row_id": 0, "column_id": 1, "bbox": [8, 0, 18, 10], "label": "fcel"},
+    ]
+    pdf_cells = [{"id": 5, "text": "w", "bbox": [4.0, 0.0, 14.0, 10.0]}]
+    m_iou, n = iou_match(table_cells, pdf_cells, iou_thres=0.05)
+    assert n == 2 and [x["table_cell_id"] for x in m_iou["5"]] == [0, 1]
+    assert all("iou" in x and x["text"] == "w" for x in m_iou["5"])
+    m_iopdf = iopdf_match(table_cells, pdf_cells)
+    assert len(m_iopdf["5"]) == 1  # argmax keeps only the best
+    # threshold filters
+    m_hi, n_hi = iou_match(table_cells, pdf_cells, iou_thres=0.5)
+    assert n_hi == 0 and m_hi == {}
+
+
+def test_table_structure_iou_matcher_end_to_end():
+    toks = [tok(i, f"c{i}", 10 + 40 * (i % 2), 10 + 20 * (i // 2),
+                40 + 40 * (i % 2), 25 + 20 * (i // 2)) for i in range(4)]
+    out = table_structure_for_tokens([0, 0, 100, 60], toks, matcher="iou")
+    assert out is not None and out["num_rows"] == 2 and out["num_cols"] == 2
+    assert all(f"c{i}" in out["text"] for i in range(4))
