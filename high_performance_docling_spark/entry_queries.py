@@ -911,11 +911,15 @@ GROUP BY 1, 2 ORDER BY hour_bucket, event_type
 # --------------------------------------------------------------------------
 
 def q_confidence_report(spark, sf_dir):
-    """Per-page layout confidence: mean + 5%-quantile grade over cluster
-    confidences (reference ConfidenceReport: mean/low quantile)."""
-    clusters = RG.clusters_rel(spark, sf_dir).withColumn(
-        "conf", ((F.col("cluster_id") % 50) + 50) / 100.0
-    )
+    """Full ConfidenceReport semantics (base_models.py:379-459) on the
+    relational corpus: per page, layout_score = mean cluster confidence
+    (layout_model.py:243) and ocr_score = mean cell confidence (:247);
+    parse/table never set → NULL (the reference's NaN). Page mean =
+    nanmean over the 4 scores = (layout+ocr)/2; page low = nanquantile
+    q=0.05 = min + 0.05*(max-min) over the two set scores. Doc roll-up
+    (pages grouped 5-per-doc): mean of page means, MEAN of page lows
+    (:443-459 — a mean, not a quantile). The same kernels run on real
+    pipeline output via extract_spans(with_confidence=True)."""
     def grade(col):
         # score→grade thresholds from base_models.py:385-394
         return (
@@ -925,33 +929,81 @@ def q_confidence_report(spark, sf_dir):
             .otherwise("excellent")
         )
 
-    agg = clusters.groupBy("page").agg(
-        F.round(F.avg("conf"), 6).alias("mean_conf"),
-        F.round(F.expr("percentile(conf, 0.05)"), 6).alias("low_conf_p05"),
-        F.count(F.lit(1)).alias("n_clusters"),
+    clusters = RG.clusters_rel(spark, sf_dir).withColumn(
+        "conf", ((F.col("cluster_id") % 50) + 50) / 100.0
     )
-    return agg.select(
-        "page", "mean_conf", "low_conf_p05", "n_clusters",
-        grade(F.col("mean_conf")).alias("mean_grade"),
-        grade(F.col("low_conf_p05")).alias("low_grade"),
-    ).orderBy("page")
+    lay = clusters.groupBy("page").agg(
+        F.round(F.avg("conf"), 6).alias("layout_score")
+    )
+    cells = RG.cells_rel(spark, sf_dir).withColumn(
+        "conf", ((F.col("cell_id") % 30) + 70) / 100.0
+    )
+    ocr = cells.groupBy("page").agg(F.round(F.avg("conf"), 6).alias("ocr_score"))
+    lo = F.least(F.col("layout_score"), F.col("ocr_score"))
+    hi = F.greatest(F.col("layout_score"), F.col("ocr_score"))
+    page = (
+        lay.join(ocr, "page")
+        .withColumn("mean_score",
+                    F.round((F.col("layout_score") + F.col("ocr_score")) / 2, 6))
+        .withColumn("low_score", F.round(lo + 0.05 * (hi - lo), 6))
+        .withColumn("doc_id", F.floor(F.col("page") / 5).cast("long"))
+    )
+    doc = page.groupBy("doc_id").agg(
+        F.round(F.avg("mean_score"), 6).alias("doc_mean_score"),
+        F.round(F.avg("low_score"), 6).alias("doc_low_score"),
+    )
+    return (
+        page.join(doc, "doc_id")
+        .select(
+            "doc_id", "page",
+            "layout_score",
+            "ocr_score", "mean_score", "low_score",
+            grade(F.col("mean_score")).alias("mean_grade"),
+            grade(F.col("low_score")).alias("low_grade"),
+            "doc_mean_score", "doc_low_score",
+            grade(F.col("doc_mean_score")).alias("doc_mean_grade"),
+            grade(F.col("doc_low_score")).alias("doc_low_grade"),
+        )
+        .orderBy("page")
+    )
 
 
 ORACLE_CONFIDENCE_REPORT = _GEO_CTE + """
-, agg AS (
-  SELECT page,
-         round(avg(conf), 6)                  AS mean_conf,
-         round(quantile_cont(conf, 0.05), 6)  AS low_conf_p05,
-         count(*)                             AS n_clusters
-  FROM (SELECT page, ((cluster_id % 50) + 50) / 100.0 AS conf FROM clusters)
-  GROUP BY page
+, lay AS (
+  SELECT page, round(avg(((cluster_id % 50) + 50) / 100.0), 6) AS layout_score
+  FROM clusters GROUP BY page
+),
+ocr AS (
+  SELECT page, round(avg(((cell_id % 30) + 70) / 100.0), 6) AS ocr_score
+  FROM cells GROUP BY page
+),
+p AS (
+  SELECT page, layout_score, ocr_score,
+         round((layout_score + ocr_score) / 2, 6) AS mean_score,
+         round(least(layout_score, ocr_score)
+               + 0.05 * (greatest(layout_score, ocr_score)
+                         - least(layout_score, ocr_score)), 6) AS low_score,
+         page // 5 AS doc_id
+  FROM lay JOIN ocr USING (page)
+),
+d AS (
+  SELECT doc_id, round(avg(mean_score), 6) AS doc_mean_score,
+         round(avg(low_score), 6) AS doc_low_score
+  FROM p GROUP BY doc_id
 )
-SELECT page, mean_conf, low_conf_p05, n_clusters,
-       CASE WHEN mean_conf < 0.5 THEN 'poor' WHEN mean_conf < 0.8 THEN 'fair'
-            WHEN mean_conf < 0.9 THEN 'good' ELSE 'excellent' END AS mean_grade,
-       CASE WHEN low_conf_p05 < 0.5 THEN 'poor' WHEN low_conf_p05 < 0.8 THEN 'fair'
-            WHEN low_conf_p05 < 0.9 THEN 'good' ELSE 'excellent' END AS low_grade
-FROM agg ORDER BY page
+SELECT doc_id, page,
+       layout_score, ocr_score,
+       mean_score, low_score,
+       CASE WHEN mean_score < 0.5 THEN 'poor' WHEN mean_score < 0.8 THEN 'fair'
+            WHEN mean_score < 0.9 THEN 'good' ELSE 'excellent' END AS mean_grade,
+       CASE WHEN low_score < 0.5 THEN 'poor' WHEN low_score < 0.8 THEN 'fair'
+            WHEN low_score < 0.9 THEN 'good' ELSE 'excellent' END AS low_grade,
+       doc_mean_score, doc_low_score,
+       CASE WHEN doc_mean_score < 0.5 THEN 'poor' WHEN doc_mean_score < 0.8 THEN 'fair'
+            WHEN doc_mean_score < 0.9 THEN 'good' ELSE 'excellent' END AS doc_mean_grade,
+       CASE WHEN doc_low_score < 0.5 THEN 'poor' WHEN doc_low_score < 0.8 THEN 'fair'
+            WHEN doc_low_score < 0.9 THEN 'good' ELSE 'excellent' END AS doc_low_grade
+FROM p JOIN d USING (doc_id) ORDER BY page
 """
 
 

@@ -306,7 +306,8 @@ def convert_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None):
 # fully-fused doc-grain stage: docs → ordered spans, zero shuffles
 # --------------------------------------------------------------------------
 
-def doc_fused_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None):
+def doc_fused_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None,
+                    with_confidence: bool = False):
     """The zero-shuffle fast path: a document is self-contained, so parse →
     layout → tables → assembly → reading order all run doc-locally in ONE
     mapInPandas stage (the serial oracle per doc, parallelized by
@@ -318,7 +319,10 @@ def doc_fused_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None):
     cost is CPU-milliseconds; switch to the staged path when page-level
     model stages — GPU layout/OCR/TableFormer — need cross-doc batching
     at page grain, or when stage checkpoints are required)."""
-    from ..oracle import extract_doc_spans
+    from ..oracle import extract_doc_result
+    from ..schemas import SPANS_CONF_SCHEMA
+
+    cols = ["doc_id", "spans"] + (["confidence"] if with_confidence else [])
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t0 = time.monotonic()
@@ -329,13 +333,18 @@ def doc_fused_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None):
                 n += 1
                 span_list = [dict(s) for s in spans]
                 span_list.sort(key=lambda s: s["offset"])
-                rows.append(
-                    {"doc_id": doc_id, "spans": extract_doc_spans(doc_id, span_list, cfg)}
-                )
-            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+                res = extract_doc_result(doc_id, span_list, cfg,
+                                         with_confidence=with_confidence)
+                row = {"doc_id": doc_id, "spans": res["spans"]}
+                if with_confidence:
+                    row["confidence"] = res["confidence"]
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
         _write_lineage(lineage_dir, "doc_fused", n, n, t0)
 
-    return docs_df.mapInPandas(fn, SPANS_OUT_SCHEMA)
+    return docs_df.mapInPandas(
+        fn, SPANS_CONF_SCHEMA if with_confidence else SPANS_OUT_SCHEMA
+    )
 
 
 # --------------------------------------------------------------------------

@@ -22,6 +22,19 @@ def extract_doc_spans(
     doc_id: str, spans: list[dict[str, Any]], cfg: GenConfig
 ) -> list[dict[str, Any]]:
     """docs-row → ordered output spans [(kind, text, media_ref, order)]."""
+    return extract_doc_result(doc_id, spans, cfg)["spans"]
+
+
+def extract_doc_result(
+    doc_id: str, spans: list[dict[str, Any]], cfg: GenConfig,
+    with_confidence: bool = False,
+) -> dict[str, Any]:
+    """docs-row → {"spans": [...], "confidence": ConfidenceReport dict}.
+
+    The confidence struct is the reference's per-page + per-document
+    quality report (base_models.py:379-459), computed from the same
+    post-processed clusters the spans come from (layout_model.py:243-249
+    hook point)."""
     pages = typeset(doc_id, spans, cfg)
     page_clusters = process_page_batch([(doc_id, p) for p in pages], cfg)
     elements: list[dict[str, Any]] = []
@@ -29,4 +42,14 @@ def extract_doc_spans(
         elements.extend(assemble_page_elements(doc_id, page.page_no, clusters))
     for cid, el in enumerate(elements):  # global cids (readingorder_model.py:61)
         el["cid"] = cid
-    return assemble_spans(elements)
+    out: dict[str, Any] = {"spans": assemble_spans(elements)}
+    if with_confidence:
+        from .kernels.confidence import doc_confidence, page_confidence
+
+        out["confidence"] = doc_confidence(
+            [
+                page_confidence(page.page_no, clusters)
+                for page, clusters in zip(pages, page_clusters)
+            ]
+        )
+    return out

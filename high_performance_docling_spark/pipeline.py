@@ -122,6 +122,7 @@ def extract_spans(
     page_partitions: int | None = None,
     mode: str = "fused",
     input_partitions: int | None = None,
+    with_confidence: bool = False,
 ) -> DataFrame:
     """Full S0→S7 pipeline.
 
@@ -153,7 +154,12 @@ def extract_spans(
         docs_df = docs_df.repartition(target * 2, "doc_id")
 
     if checkpoint_dir is None and mode == "fused":
-        return doc_fused_stage(docs_df, cfg, lineage_dir)
+        # with_confidence adds the per-doc ConfidenceReport struct
+        # (base_models.py:379-459) computed from the same post-processed
+        # clusters as the spans (fused path only — the staged path's
+        # elements boundary drops cluster confidences)
+        return doc_fused_stage(docs_df, cfg, lineage_dir,
+                               with_confidence=with_confidence)
 
     if checkpoint_dir is None:
         # staged lazy path: ONE Python stage docs→elements (see

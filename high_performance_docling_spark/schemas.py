@@ -134,6 +134,41 @@ SPANS_OUT_SCHEMA = T.StructType(
     ]
 )
 
+# ConfidenceReport on extraction output (base_models.py:379-459): per-page
+# 4-score struct + grades, doc-level mean/low roll-up. Scores the pipeline
+# never set (the reference's np.nan) serialize as SQL NULL — Arrow's
+# pandas conversion maps NaN to null, so null IS the NaN wire format here;
+# the NaN math (nanmean/nanquantile/grades) lives in kernels/confidence.py.
+PAGE_CONFIDENCE_STRUCT = T.StructType(
+    [
+        T.StructField("page_no", T.IntegerType(), False),
+        T.StructField("parse_score", T.DoubleType(), True),
+        T.StructField("layout_score", T.DoubleType(), True),
+        T.StructField("table_score", T.DoubleType(), True),
+        T.StructField("ocr_score", T.DoubleType(), True),
+        T.StructField("mean_score", T.DoubleType(), True),
+        T.StructField("low_score", T.DoubleType(), True),
+        T.StructField("mean_grade", T.StringType(), False),
+        T.StructField("low_grade", T.StringType(), False),
+    ]
+)
+DOC_CONFIDENCE_STRUCT = T.StructType(
+    [
+        T.StructField("mean_score", T.DoubleType(), True),
+        T.StructField("low_score", T.DoubleType(), True),
+        T.StructField("mean_grade", T.StringType(), False),
+        T.StructField("low_grade", T.StringType(), False),
+        T.StructField("pages", T.ArrayType(PAGE_CONFIDENCE_STRUCT), False),
+    ]
+)
+SPANS_CONF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(OUT_SPAN_STRUCT), False),
+        T.StructField("confidence", DOC_CONFIDENCE_STRUCT, False),
+    ]
+)
+
 # Per-partition lineage rows (SURVEY.md §2.9: Spark analogue of the
 # reference's timer instrumentation, fork/timers.py:5-109).
 LINEAGE_SCHEMA = T.StructType(

@@ -91,3 +91,58 @@ def test_checkpoint_recovers_from_uncommitted_write(spark, tmp_path):
     out = _spans(extract_spans(spark, docs, cfg, checkpoint_dir=ckpt).collect())
     assert len(out) == cfg.n_docs
     assert os.path.exists(os.path.join(crashed, "_SUCCESS"))
+
+
+def test_confidence_report_on_pipeline_output(spark):
+    """extract_spans(with_confidence=True) carries the ConfidenceReport
+    struct (base_models.py:379-459): per-page layout/ocr scores from the
+    post-processed clusters, NaN for never-set parse/table, doc roll-up =
+    mean of page means / mean of page lows."""
+    import math
+
+    from high_performance_docling_spark.corpus import GenConfig
+    from high_performance_docling_spark.oracle import extract_doc_result
+    from high_performance_docling_spark.pipeline import (
+        docs_dataframe,
+        extract_spans,
+    )
+
+    cfg = GenConfig(seed=13, n_docs=10, ocr_frac=0.25, keep_empty_clusters=True)
+    docs = docs_dataframe(spark, cfg, num_partitions=4)
+    out = extract_spans(spark, docs, cfg, with_confidence=True).collect()
+    assert len(out) == 10
+    saw_ocr = False
+    for row in out:
+        conf = row["confidence"]
+        assert conf["mean_grade"] in ("poor", "fair", "good", "excellent",
+                                      "unspecified")
+        assert not math.isnan(conf["mean_score"])
+        pages = conf["pages"]
+        assert len(pages) >= 1
+        for p in pages:
+            # never-set scores (reference np.nan) serialize as null
+            assert p["parse_score"] is None and p["table_score"] is None
+            assert p["layout_score"] is not None
+            if p["ocr_score"] is not None:
+                saw_ocr = True
+                assert abs(p["ocr_score"] - 0.9) < 1e-9  # synthetic OCR conf
+        # doc roll-up = mean of page means / mean of page lows
+        means = [p["mean_score"] for p in pages if p["mean_score"] is not None]
+        lows = [p["low_score"] for p in pages if p["low_score"] is not None]
+        assert abs(conf["mean_score"] - sum(means) / len(means)) < 1e-9
+        assert abs(conf["low_score"] - sum(lows) / len(lows)) < 1e-9
+    assert saw_ocr
+    # spot-check one doc against the serial oracle
+    from high_performance_docling_spark.corpus import generate_doc
+
+    d0 = generate_doc(cfg, 0)
+    expect = extract_doc_result(d0["doc_id"], d0["spans"], cfg,
+                                with_confidence=True)["confidence"]
+    got = next(r["confidence"] for r in out if r["doc_id"] == d0["doc_id"])
+    assert got["mean_grade"] == expect["mean_grade"]
+    assert abs(got["mean_score"] - expect["mean_score"]) < 1e-12
+    got_pages = {p["page_no"]: p for p in got["pages"]}
+    for p in expect["pages"]:
+        g = got_pages[p["page_no"]]
+        for k in ("layout_score", "mean_score", "low_score"):
+            assert abs(g[k] - p[k]) < 1e-12
