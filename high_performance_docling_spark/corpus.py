@@ -74,6 +74,13 @@ class GenConfig:
     # 204-234); that in turn disables the empty-competitor noise case.
     ocr_frac: float = 0.0
     keep_empty_clusters: bool = False
+    # Reading-order extras (readingorder_model.py predict_merges +
+    # ListItemMarkerProcessor): off by default — the synthetic corpus
+    # writes pre-normalized list items and unsplit paragraphs. Enable on
+    # corpora with marker'd lists / cross-boundary paragraph splits
+    # (tests/test_reading_order.py golden fixtures exercise both).
+    enable_merges: bool = False
+    process_list_markers: bool = False
 
 
 # --------------------------------------------------------------------------

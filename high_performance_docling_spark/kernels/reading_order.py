@@ -174,7 +174,9 @@ def predict_merges(
 
 
 def assemble_spans(
-    elements: list[dict[str, Any]], enable_merges: bool = False
+    elements: list[dict[str, Any]],
+    enable_merges: bool = False,
+    process_list_markers: bool = False,
 ) -> list[dict[str, Any]]:
     """Full document assembly: reading order + attachment → ordered spans.
 
@@ -183,9 +185,20 @@ def assemble_spans(
     [{kind, text, media_ref, order}] — the engine's output contract
     (BASELINE.json input_hint; reference analogue:
     readingorder_model.py:106-277 document build + markdown export order).
+
+    ``process_list_markers`` runs the list-marker normalizer
+    (readingorder_model.py:15-17 ListItemMarkerProcessor role): marker'd
+    text becomes ``list_item`` with the marker stripped, marker-only boxes
+    merge forward, consecutive items group. Off by default — the synthetic
+    corpus writes its list items pre-normalized.
     """
     by_cid = {el["cid"]: el for el in elements}
     ordered = predict_reading_order(elements)
+    absorbed: set[int] = set()
+    if process_list_markers:
+        from .list_markers import process_list_markers as _plm
+
+        absorbed = _plm(by_cid, ordered)["absorbed"]
     captions = _attach(by_cid, ordered, CAPTION)
     footnotes = _attach(by_cid, ordered, FOOTNOTE)
     merges = predict_merges(by_cid, ordered) if enable_merges else {}
@@ -193,6 +206,7 @@ def assemble_spans(
         {c for lst in captions.values() for c in lst}
         | {c for lst in footnotes.values() for c in lst}
         | {c for lst in merges.values() for c in lst}
+        | absorbed
     )
 
     spans: list[dict[str, Any]] = []

@@ -352,7 +352,8 @@ def doc_fused_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None,
 # --------------------------------------------------------------------------
 
 def doc_assemble_stage(elements_df, lineage_dir: str | None = None,
-                       num_partitions: int | None = None):
+                       num_partitions: int | None = None,
+                       cfg: GenConfig | None = None):
     """Per-document assembly: co-locate each doc's pages via
     repartition(doc_id), then group INSIDE the partition and run reading
     order + caption/footnote attachment, emitting the ordered span array.
@@ -376,7 +377,14 @@ def doc_assemble_stage(elements_df, lineage_dir: str | None = None,
                 el["children"] = [] if children is None else [dict(c) for c in children]
                 el["cid"] = len(elements)
                 elements.append(el)
-        return {"doc_id": doc_id, "spans": assemble_spans(elements)}
+        return {
+            "doc_id": doc_id,
+            "spans": assemble_spans(
+                elements,
+                enable_merges=cfg.enable_merges if cfg else False,
+                process_list_markers=cfg.process_list_markers if cfg else False,
+            ),
+        }
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t0 = time.monotonic()

@@ -42,7 +42,13 @@ def extract_doc_result(
         elements.extend(assemble_page_elements(doc_id, page.page_no, clusters))
     for cid, el in enumerate(elements):  # global cids (readingorder_model.py:61)
         el["cid"] = cid
-    out: dict[str, Any] = {"spans": assemble_spans(elements)}
+    out: dict[str, Any] = {
+        "spans": assemble_spans(
+            elements,
+            enable_merges=cfg.enable_merges,
+            process_list_markers=cfg.process_list_markers,
+        )
+    }
     if with_confidence:
         from .kernels.confidence import doc_confidence, page_confidence
 

@@ -166,7 +166,7 @@ def extract_spans(
         # convert_stage docstring for why chaining two Python stages
         # oversubscribes the executors), then the single shuffle.
         elements = convert_stage(docs_df, cfg, lineage_dir)
-        return doc_assemble_stage(elements, lineage_dir)
+        return doc_assemble_stage(elements, lineage_dir, cfg=cfg)
 
     # Checkpointed staged path: parse → detect (model stage) → layout,
     # each materialized to parquet so no two Python stages chain in one
@@ -197,4 +197,4 @@ def extract_spans(
         os.path.join(checkpoint_dir, "elements"),
         ["doc_id", "page_no"],
     )
-    return doc_assemble_stage(elements, lineage_dir)
+    return doc_assemble_stage(elements, lineage_dir, cfg=cfg)

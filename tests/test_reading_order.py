@@ -129,3 +129,112 @@ def test_merges_disabled_by_default():
         el(1, 0, 320, 100, 560, 400, "text", "into the second column."),
     ]
     assert len(assemble_spans(els)) == 2
+
+
+def _el(cid, page, l, t, r, b, label, text):
+    return {"cid": cid, "page_no": page, "l": float(l), "t": float(t),
+            "r": float(r), "b": float(b), "label": label, "text": text,
+            "media_ref": "", "children": []}
+
+
+def test_predict_merges_cross_page_golden():
+    """Golden: punctuation-realistic paragraph split across a page
+    boundary (and a column boundary) re-joins under enable_merges=True;
+    sentence-terminal punctuation and uppercase continuations block it."""
+    from high_performance_docling_spark.kernels.reading_order import assemble_spans
+
+    els = [
+        _el(0, 0, 50, 60, 550, 120, "text",
+            "The quarterly report shows revenue grew in every"),
+        _el(1, 1, 50, 60, 550, 120, "text",
+            "segment except hardware, which declined slightly."),  # merges into 0
+        _el(2, 1, 50, 140, 550, 200, "text",
+            "A new paragraph starts here. It ends properly."),     # upper → no merge
+        _el(3, 2, 50, 60, 290, 400, "text",
+            "Column one trails off without a final"),
+        _el(4, 2, 310, 60, 550, 400, "text",
+            "stop and continues in column two."),                  # merges into 3
+        _el(5, 3, 50, 60, 550, 120, "text",
+            "This sentence is complete."),                         # punct → no merge
+        _el(6, 4, 50, 60, 550, 120, "text",
+            "it would continue but the previous ended with a period"),
+    ]
+    spans = assemble_spans(els, enable_merges=True)
+    golden = [
+        ("text", "The quarterly report shows revenue grew in every "
+                 "segment except hardware, which declined slightly."),
+        ("text", "A new paragraph starts here. It ends properly."),
+        ("text", "Column one trails off without a final "
+                 "stop and continues in column two."),
+        ("text", "This sentence is complete."),
+        ("text", "it would continue but the previous ended with a period"),
+    ]
+    assert [(s["kind"], s["text"]) for s in spans] == golden
+    assert [s["order"] for s in spans] == list(range(5))
+
+
+def test_list_marker_processing_golden():
+    """Golden: marker'd texts normalize to list_item (marker stripped,
+    enumerated flagged), a marker-only box merges forward, consecutive
+    items group (ListItemMarkerProcessor role, readingorder_model.py:15-17)."""
+    from high_performance_docling_spark.kernels.list_markers import (
+        process_list_markers,
+        split_marker,
+    )
+    from high_performance_docling_spark.kernels.reading_order import assemble_spans
+
+    assert split_marker("- bullet point") == ("-", "bullet point")
+    assert split_marker("(iv) roman entry") == ("(iv)", "roman entry")
+    assert split_marker("3. third") == ("3.", "third")
+    assert split_marker("plain text here") == ("", "plain text here")
+
+    els = [
+        _el(0, 0, 50, 40, 550, 60, "section_header", "Agenda"),
+        _el(1, 0, 50, 80, 550, 100, "text", "- first bullet"),
+        _el(2, 0, 50, 110, 550, 130, "text", "- second bullet"),
+        _el(3, 0, 50, 140, 70, 160, "text", "3."),            # marker-only box
+        _el(4, 0, 80, 140, 550, 160, "text", "third entry split from marker"),
+        _el(5, 0, 50, 180, 550, 200, "text", "Closing paragraph."),
+        _el(6, 0, 50, 220, 550, 240, "text", "a) lettered item in a new group"),
+    ]
+    import copy
+
+    kernel_els = copy.deepcopy(els)  # the kernel mutates; keep els fresh
+    by_cid = {e["cid"]: e for e in kernel_els}
+    ordered = [e["cid"] for e in kernel_els]
+    res = process_list_markers(by_cid, ordered)
+    assert res["absorbed"] == {4}
+    assert res["groups"] == {0: [1, 2, 3], 1: [6]}
+    assert by_cid[3]["text"] == "third entry split from marker"
+    assert by_cid[3]["marker"] == "3." and by_cid[3]["enumerated"]
+    assert by_cid[1]["marker"] == "-" and not by_cid[1]["enumerated"]
+
+    spans = assemble_spans(els, process_list_markers=True)
+    golden = [
+        ("section_header", "Agenda"),
+        ("list_item", "first bullet"),
+        ("list_item", "second bullet"),
+        ("list_item", "third entry split from marker"),
+        ("text", "Closing paragraph."),
+        ("list_item", "lettered item in a new group"),
+    ]
+    assert [(s["kind"], s["text"]) for s in spans] == golden
+
+
+def test_merge_and_marker_flags_thread_through_pipeline(spark):
+    """cfg.enable_merges / cfg.process_list_markers reach both execution
+    paths: fused and staged outputs stay equal with the flags on."""
+    from high_performance_docling_spark.corpus import GenConfig
+    from high_performance_docling_spark.pipeline import (
+        docs_dataframe,
+        extract_spans,
+    )
+
+    cfg = GenConfig(seed=3, n_docs=8, enable_merges=True,
+                    process_list_markers=True)
+    docs = docs_dataframe(spark, cfg, num_partitions=4)
+    fused = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+             for r in extract_spans(spark, docs, cfg, mode="fused").collect()}
+    staged = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+              for r in extract_spans(spark, docs, cfg, mode="staged").collect()}
+    assert fused == staged and len(fused) == 8
