@@ -19,6 +19,9 @@ __all__ = [
     "pairwise_overlap_mask",
     "envelope",
     "union_find_groups",
+    "cxcywh_to_xyxy",
+    "xyxy_to_cxcywh",
+    "merge_bboxes_cxcywh",
 ]
 
 
@@ -127,3 +130,41 @@ def union_find_groups(n: int, edges: np.ndarray) -> list[list[int]]:
     for i in range(n):
         groups.setdefault(find(i), []).append(i)
     return [groups[k] for k in sorted(groups)]
+
+
+def cxcywh_to_xyxy(b: np.ndarray) -> np.ndarray:
+    """Center format → corner format (tablemodel04_rs.py:277-289);
+    vectorized over [..., 4]."""
+    b = np.asarray(b, dtype=np.float64)
+    cx, cy, w, h = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return np.stack(
+        (cx - 0.5 * w, cy - 0.5 * h, cx + 0.5 * w, cy + 0.5 * h), axis=-1
+    )
+
+
+def xyxy_to_cxcywh(b: np.ndarray) -> np.ndarray:
+    """Corner format → center format with the reference's 1e-6 min-extent
+    clamp (tablemodel04_rs.py:291-303)."""
+    b = np.asarray(b, dtype=np.float64)
+    x1, y1, x2, y2 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    w = np.maximum(x2 - x1, 1e-6)
+    h = np.maximum(y2 - y1, 1e-6)
+    return np.stack((x1 + 0.5 * w, y1 + 0.5 * h, w, h), axis=-1)
+
+
+def merge_bboxes_cxcywh(b1: np.ndarray, b2: np.ndarray) -> np.ndarray:
+    """Order-agnostic union of cxcywh box pairs, batched — the bbox merge
+    the AR decoder applies to lcel spans (tablemodel04_rs.py:305-339
+    mergebboxes / mergebboxes_batch)."""
+    a = cxcywh_to_xyxy(b1)
+    b = cxcywh_to_xyxy(b2)
+    merged = np.stack(
+        (
+            np.minimum(a[..., 0], b[..., 0]),
+            np.minimum(a[..., 1], b[..., 1]),
+            np.maximum(a[..., 2], b[..., 2]),
+            np.maximum(a[..., 3], b[..., 3]),
+        ),
+        axis=-1,
+    )
+    return xyxy_to_cxcywh(merged)

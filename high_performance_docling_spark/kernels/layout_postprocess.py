@@ -100,6 +100,37 @@ def _sort_clusters_id(clusters: list[dict]) -> list[dict]:
     return sorted(clusters, key=lambda c: (c["first_cell_index"], c["t"], c["l"]))
 
 
+def sort_clusters(clusters: list[dict], mode: str = "id") -> list[dict]:
+    """Cluster reading-prep sort, all three reference modes
+    (layout_postprocessor.py:1053-1075):
+      - "id":   (first_cell_index, t, l) — PDF print order (the default
+                the pipeline runs with);
+      - "tblr": (t, l) — top-to-bottom then left-to-right (row first);
+      - "lrtb": (l, t) — left-to-right then top-to-bottom (column first).
+    Unknown modes return the input unchanged, like the reference."""
+    if mode == "id":
+        return _sort_clusters_id(clusters)
+    if mode == "tblr":
+        return sorted(clusters, key=lambda c: (c["t"], c["l"]))
+    if mode == "lrtb":
+        return sorted(clusters, key=lambda c: (c["l"], c["t"]))
+    return clusters
+
+
+def stable_sort_detections(dets: list[dict]) -> list[dict]:
+    """Compat-mode stable multi-key detection sort
+    (layout_predictor_gpu.py:160-172 _stable_sort_result): order by
+    (label, -confidence, l, t, r, b) via chained stable sorts, exactly the
+    reference's last-key-first argsort loop. Makes raw detector output
+    order deterministic across batch layouts before post-processing."""
+    out = list(dets)
+    for key in ("b", "r", "t", "l"):  # reversed key order, stable
+        out.sort(key=lambda d: d[key])
+    out.sort(key=lambda d: -d["confidence"])
+    out.sort(key=lambda d: d["label"])
+    return out
+
+
 def _should_prefer(candidate: dict, other: dict, params: dict) -> bool:
     """Preference rules between two overlapping clusters (:585-619)."""
     if candidate["label"] == LIST_ITEM and other["label"] == TEXT:

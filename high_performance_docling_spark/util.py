@@ -1,0 +1,16 @@
+"""Small shared utilities (exact ports of reference helpers)."""
+
+from __future__ import annotations
+
+import re
+
+
+def fmt_secs(s: float) -> str:
+    """Pretty print durations: e.g. 85.2 ms, 2.31 s (gpu_processor.py:28)."""
+    return f"{s * 1000:.1f} ms" if s < 1 else f"{s:.2f} s"
+
+
+def safe_id(url: str) -> str:
+    """Strip protocol and non-filename chars (gpu_processor.py:366-368):
+    the doc-id sanitizer used for regression/sink file names."""
+    return re.sub(r"[^A-Za-z0-9._-]+", "_", url)

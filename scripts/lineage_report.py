@@ -23,6 +23,8 @@ def main(lineage_dir: str) -> None:
             for line in f:
                 row = json.loads(line)
                 stages.setdefault(row["stage"], []).append(row)
+    from high_performance_docling_spark.util import fmt_secs
+
     for stage, rows in sorted(stages.items()):
         walls = sorted(r["wall_ms"] for r in rows)
         p95 = walls[int(0.95 * (len(walls) - 1))]
@@ -30,7 +32,8 @@ def main(lineage_dir: str) -> None:
             f"{stage:12s} partitions={len(rows):4d} "
             f"in={sum(r['input_rows'] for r in rows):8d} "
             f"out={sum(r['output_rows'] for r in rows):8d} "
-            f"wall_total={sum(walls):9.1f}ms p95={p95:8.1f}ms"
+            f"wall_total={fmt_secs(sum(walls) / 1000.0):>10s} "
+            f"p95={fmt_secs(p95 / 1000.0):>9s}"
         )
 
 

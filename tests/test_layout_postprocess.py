@@ -171,3 +171,71 @@ def test_remove_overlaps_merges_cells():
     assert merged and len(out) == 2
     big = next(x for x in out if x["id"] in (0, 1))
     assert [cc["index"] for cc in big["cells"]] == [0, 1]
+
+
+def test_sort_clusters_modes():
+    """layout_postprocessor.py:1053-1075: id / tblr / lrtb sort modes."""
+    from high_performance_docling_spark.kernels.layout_postprocess import (
+        sort_clusters,
+    )
+
+    mk = lambda i, fci, t, l: {"id": i, "first_cell_index": fci, "t": t, "l": l}  # noqa: E731
+    cl = [mk(0, 9, 10.0, 200.0), mk(1, 2, 50.0, 10.0), mk(2, 5, 10.0, 10.0)]
+    assert [c["id"] for c in sort_clusters(cl, "id")] == [1, 2, 0]
+    assert [c["id"] for c in sort_clusters(cl, "tblr")] == [2, 0, 1]
+    assert [c["id"] for c in sort_clusters(cl, "lrtb")] == [2, 1, 0]
+    assert sort_clusters(cl, "nope") == cl  # unknown mode: input order
+
+
+def test_stable_sort_detections_compat():
+    """layout_predictor_gpu.py:160-172: (label, -conf, l, t, r, b) stable."""
+    from high_performance_docling_spark.kernels.layout_postprocess import (
+        stable_sort_detections,
+    )
+
+    d = lambda i, lab, conf, l, t: {"id": i, "label": lab, "confidence": conf,  # noqa: E731
+                                    "l": l, "t": t, "r": l + 10, "b": t + 10}
+    dets = [
+        d(0, "text", 0.7, 5, 5),
+        d(1, "table", 0.9, 0, 0),
+        d(2, "text", 0.9, 9, 0),
+        d(3, "text", 0.9, 1, 0),
+    ]
+    out = stable_sort_detections(dets)
+    assert [x["id"] for x in out] == [1, 3, 2, 0]  # label, then -conf, then l
+
+
+def test_bbox_convert_and_merge():
+    """tablemodel04_rs.py:277-339: cxcywh<->xyxy with 1e-6 clamp, batched
+    order-agnostic union merge."""
+    import numpy as np
+
+    from high_performance_docling_spark.geometry import (
+        cxcywh_to_xyxy,
+        merge_bboxes_cxcywh,
+        xyxy_to_cxcywh,
+    )
+
+    xyxy = cxcywh_to_xyxy([5.0, 5.0, 4.0, 2.0])
+    assert xyxy.tolist() == [3.0, 4.0, 7.0, 6.0]
+    back = xyxy_to_cxcywh(xyxy)
+    assert np.allclose(back, [5.0, 5.0, 4.0, 2.0])
+    # degenerate extent clamps to 1e-6, never zero/negative
+    degen = xyxy_to_cxcywh([3.0, 4.0, 3.0, 4.0])
+    assert degen[2] == 1e-6 and degen[3] == 1e-6
+    m1 = merge_bboxes_cxcywh([5.0, 5.0, 4.0, 2.0], [10.0, 5.0, 2.0, 2.0])
+    m2 = merge_bboxes_cxcywh([10.0, 5.0, 2.0, 2.0], [5.0, 5.0, 4.0, 2.0])
+    assert np.allclose(m1, m2)  # order-agnostic
+    assert np.allclose(cxcywh_to_xyxy(m1), [3.0, 4.0, 11.0, 6.0])
+    batch = merge_bboxes_cxcywh(
+        np.array([[5.0, 5.0, 4.0, 2.0]] * 3), np.array([[10.0, 5.0, 2.0, 2.0]] * 3)
+    )
+    assert batch.shape == (3, 4) and np.allclose(batch[0], m1)
+
+
+def test_fmt_secs_and_safe_id():
+    from high_performance_docling_spark.util import fmt_secs, safe_id
+
+    assert fmt_secs(0.0852) == "85.2 ms"
+    assert fmt_secs(2.31) == "2.31 s"
+    assert safe_id("https://ex.com/a b/c.pdf?x=1") == "https_ex.com_a_b_c.pdf_x_1"

@@ -172,3 +172,76 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
     uncapped = DD.ngram_jaccard_pairs(sh, threshold=0.01).collect()
     capped = DD.ngram_jaccard_pairs(sh, threshold=0.01, max_shingle_df=6).collect()
     assert len(uncapped) >= len(capped)
+
+
+def test_image_ops_kernels():
+    """Image-path kernels: render/crop/roi-resize/normalize/preprocess
+    shapes and determinism (tf_predictor.py:496-562 + :1117-1174,
+    gpu_preprocess.py semantics on the deterministic bitmap stand-in)."""
+    import numpy as np
+
+    from high_performance_docling_spark.kernels.image_ops import (
+        RENDER_SCALE,
+        crop_bitmap,
+        crop_table_rois,
+        normalize_batch,
+        preprocess_layout_batch,
+        render_page_bitmap,
+    )
+
+    img = render_page_bitmap(612.0, 792.0, [[100, 100, 300, 200], [0, 0, 50, 50]])
+    assert img.shape == (198, 153) and img.dtype == np.uint8
+    assert img[30, 30] == 255 and img[150, 140] == 0
+    img2 = render_page_bitmap(612.0, 792.0, [[100, 100, 300, 200], [0, 0, 50, 50]])
+    assert np.array_equal(img, img2)  # deterministic
+
+    crop = crop_bitmap(img, [100, 100, 300, 200], RENDER_SCALE)
+    assert crop.shape == (25, 50) and crop.min() == 255  # fully covered box
+
+    rois = crop_table_rois(img, 792.0, [[100, 100, 300, 200], [5, 5, 5, 5]])
+    assert len(rois) == 1  # degenerate box skipped
+    sf = 1024.0 / 792.0
+    assert rois[0]["scale_factor"] == sf
+    assert rois[0]["image"].shape == (int(round(100 * sf)), int(round(200 * sf)))
+    assert rois[0]["scaled_bbox"] == [100 * sf, 100 * sf, 300 * sf, 200 * sf]
+
+    norm = normalize_batch([crop, img], resized_size=448)
+    assert norm.shape == (2, 3, 448, 448) and norm.dtype == np.float32
+    # 255 pixel → (1.0 - mean)/std on channel 0
+    assert abs(norm[0, 0, 0, 0] - (1.0 - 0.94247851) / 0.17910956) < 1e-5
+
+    pre = preprocess_layout_batch([img, crop])
+    assert pre.shape == (2, 3, 640, 640) and pre.dtype == np.float32
+    assert pre.max() <= 1.0 and pre.min() >= 0.0  # rescaled, no normalize
+
+
+def test_extract_figures_joins_with_span_media_refs(spark):
+    """Figure sink (document_assembler.py:62-90 role): crop rows join 1:1
+    with the picture spans' media_refs from the extraction pipeline."""
+    from high_performance_docling_spark.corpus import GenConfig
+    from high_performance_docling_spark.operators.figures import extract_figures
+    from high_performance_docling_spark.pipeline import (
+        docs_dataframe,
+        extract_spans,
+    )
+
+    cfg = GenConfig(seed=42, n_docs=20)
+    docs = docs_dataframe(spark, cfg, num_partitions=4)
+    figs = extract_figures(docs, cfg).collect()
+    assert len(figs) > 0
+    for f in figs:
+        assert f["crop_h"] >= 1 and f["crop_w"] >= 1
+        assert len(f["crop"]) == f["crop_h"] * f["crop_w"]
+        assert f["media_ref"].startswith("img:")
+    spans = extract_spans(spark, docs, cfg).select("doc_id", "spans").collect()
+    span_refs = {
+        s["media_ref"]
+        for r in spans
+        for s in r["spans"]
+        if s["kind"] == "picture" and s["media_ref"]
+    }
+    fig_refs = {f["media_ref"] for f in figs}
+    assert span_refs and span_refs <= fig_refs
+    # determinism: same crop bytes on a second run
+    figs2 = {f["media_ref"]: f["crop_sha"] for f in extract_figures(docs, cfg).collect()}
+    assert {f["media_ref"]: f["crop_sha"] for f in figs} == figs2
