@@ -1064,6 +1064,67 @@ FROM s ORDER BY doc_id
 """
 
 
+def q_detect_format(spark, sf_dir):
+    """Format registry (base_models.py:72-124 InputFormat maps) as an
+    oracled query: deterministic filenames over `documents`, extension →
+    format via the real when()-chain operator, format → MIME."""
+    from .operators.export import FORMAT_TO_MIME, detect_format
+
+    docs = _t(spark, sf_dir, "documents")
+    exts = ["pdf", "docx", "pptx", "htm", "jpeg", "adoc", "md", "csv",
+            "xlsx", "weird"]
+    ext = F.element_at(F.array(*[F.lit(e) for e in exts]),
+                       (F.col("doc_id") % 10 + 1).cast("int"))
+    named = docs.select(
+        "doc_id",
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit("."), ext)
+        .alias("filename"),
+    )
+    out = detect_format(named)
+    mime = None
+    for fmt, m in FORMAT_TO_MIME.items():
+        mime = (F.when(F.col("format") == fmt, m) if mime is None
+                else mime.when(F.col("format") == fmt, m))
+    mime = mime.otherwise(F.lit("application/octet-stream"))
+    return out.select("doc_id", "filename", "format", mime.alias("mime")).orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_DETECT_FORMAT = """
+WITH named AS (
+  SELECT doc_id,
+         'doc_' || doc_id || '.' ||
+         ['pdf','docx','pptx','htm','jpeg','adoc','md','csv','xlsx','weird']
+           [(doc_id % 10 + 1)::INT] AS filename
+  FROM documents
+),
+f AS (
+  SELECT doc_id, filename,
+         CASE regexp_extract(lower(filename), '\\.([a-z0-9]+)$', 1)
+              WHEN 'pdf' THEN 'pdf' WHEN 'docx' THEN 'docx'
+              WHEN 'pptx' THEN 'pptx' WHEN 'htm' THEN 'html'
+              WHEN 'jpeg' THEN 'image' WHEN 'adoc' THEN 'asciidoc'
+              WHEN 'md' THEN 'md' WHEN 'csv' THEN 'csv'
+              WHEN 'xlsx' THEN 'xlsx' ELSE 'unknown' END AS format
+  FROM named
+)
+SELECT doc_id, filename, format,
+       CASE format
+            WHEN 'pdf' THEN 'application/pdf'
+            WHEN 'docx' THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+            WHEN 'pptx' THEN 'application/vnd.openxmlformats-officedocument.presentationml.presentation'
+            WHEN 'html' THEN 'text/html'
+            WHEN 'image' THEN 'image/png'
+            WHEN 'asciidoc' THEN 'text/asciidoc'
+            WHEN 'md' THEN 'text/markdown'
+            WHEN 'csv' THEN 'text/csv'
+            WHEN 'xlsx' THEN 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
+            ELSE 'application/octet-stream' END AS mime
+FROM f ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1101,6 +1162,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_events": q_windowed_events,
     "confidence_report": q_confidence_report,
     "export_markdown": q_export_markdown,
+    "detect_format": q_detect_format,
 }
 
 ORACLES: dict[str, str] = {
@@ -1134,4 +1196,5 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "windowed_events": ORACLE_WINDOWED_EVENTS,
     "confidence_report": ORACLE_CONFIDENCE_REPORT,
+    "detect_format": ORACLE_DETECT_FORMAT,
 }

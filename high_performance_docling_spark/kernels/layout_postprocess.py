@@ -117,6 +117,35 @@ def sort_clusters(clusters: list[dict], mode: str = "id") -> list[dict]:
     return clusters
 
 
+def postfilter_detections(
+    dets: list[dict],
+    page_w: float,
+    page_h: float,
+    base_threshold: float = 0.3,
+    blacklist: frozenset[str] = frozenset(),
+) -> list[dict]:
+    """Raw-detector output filter (layout_predictor_gpu.py:303-312, the
+    predict_batch tail): drop blacklisted classes (e.g. {"Form",
+    "Key-Value Region"} — layout_predictor.py:53), drop scores below the
+    base threshold (:base_threshold=0.3 default), clamp every bbox to the
+    page (l,t >= 0; r <= w; b <= h). Runs BEFORE the per-label confidence
+    thresholds of the post-processor. Idempotent."""
+    out: list[dict] = []
+    for d in dets:
+        if d["label"] in blacklist or d["confidence"] < base_threshold:
+            continue
+        out.append(
+            {
+                **d,
+                "l": min(page_w, max(0.0, d["l"])),
+                "t": min(page_h, max(0.0, d["t"])),
+                "r": min(page_w, max(0.0, d["r"])),
+                "b": min(page_h, max(0.0, d["b"])),
+            }
+        )
+    return out
+
+
 def stable_sort_detections(dets: list[dict]) -> list[dict]:
     """Compat-mode stable multi-key detection sort
     (layout_predictor_gpu.py:160-172 _stable_sort_result): order by
@@ -290,6 +319,9 @@ def postprocess_page(
     id, label, l, t, r, b, confidence, cells (sorted by index) and
     children (list of child clusters, same shape, empty below one level).
     """
+    # predictor-side postfilter (base threshold + blacklist + page clamp,
+    # layout_predictor_gpu.py:303-312) — shared by both execution paths
+    raw_clusters = postfilter_detections(raw_clusters, page_width, page_height)
     clusters = [
         {
             "id": int(c["id"]),

@@ -239,3 +239,26 @@ def test_fmt_secs_and_safe_id():
     assert fmt_secs(0.0852) == "85.2 ms"
     assert fmt_secs(2.31) == "2.31 s"
     assert safe_id("https://ex.com/a b/c.pdf?x=1") == "https_ex.com_a_b_c.pdf_x_1"
+
+
+def test_postfilter_detections():
+    """layout_predictor_gpu.py:303-312: blacklist drop, base-threshold
+    drop, bbox clamp to the page — before per-label thresholds."""
+    from high_performance_docling_spark.kernels.layout_postprocess import (
+        postfilter_detections,
+    )
+
+    dets = [
+        {"id": 0, "label": "text", "l": -5.0, "t": -2.0, "r": 700.0, "b": 900.0,
+         "confidence": 0.9},
+        {"id": 1, "label": "text", "l": 10.0, "t": 10.0, "r": 20.0, "b": 20.0,
+         "confidence": 0.29},  # below base threshold
+        {"id": 2, "label": "key_value_region", "l": 0.0, "t": 0.0, "r": 9.0,
+         "b": 9.0, "confidence": 0.9},  # blacklisted
+    ]
+    out = postfilter_detections(dets, 612.0, 792.0,
+                                blacklist=frozenset({"key_value_region"}))
+    assert [d["id"] for d in out] == [0]
+    assert (out[0]["l"], out[0]["t"], out[0]["r"], out[0]["b"]) == (0.0, 0.0, 612.0, 792.0)
+    # idempotent
+    assert postfilter_detections(out, 612.0, 792.0) == out
