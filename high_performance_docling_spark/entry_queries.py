@@ -1064,6 +1064,136 @@ FROM s ORDER BY doc_id
 """
 
 
+def q_embedding_ivf_ann(spark, sf_dir):
+    """IVF approximate NN (the k-means-bucket scale path; deterministic
+    seed centroids keep it SQL-expressible, so the oracle reproduces the
+    exact assignment, probes and result set)."""
+    return SIM.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5, n_probe=2
+    ).orderBy("query_id", "rk")
+
+
+_IVF_CENT_SQL = ", ".join(str(i) for i in SIM.IVF_DEFAULT_CENTROIDS)
+
+ORACLE_EMBEDDING_IVF_ANN = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM base
+          WHERE vec_id IN ({_IVF_CENT_SQL})),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT b.vec_id, b.v, c.cid,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY round(list_cosine_similarity(b.v, c.cv), 9) DESC,
+                      c.cid ASC) AS rn
+    FROM base b CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base
+      WHERE vec_id IN ({", ".join(str(i) for i in _ANN_QUERY_IDS)})),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.query_id, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 9) DESC,
+                      c.cid ASC) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS nbr_id,
+         round(list_cosine_similarity(p.qv, a.v), 5) AS cosine
+  FROM probes p JOIN assign a ON a.cid = p.cid
+  WHERE a.vec_id != p.query_id
+)
+SELECT query_id, rk, nbr_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, nbr_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5 ORDER BY query_id, rk
+"""
+
+
+def q_events_asof_join(spark, sf_dir):
+    """As-of join (custom temporal operator): each purchase joined to the
+    user's latest click at-or-before it — tagged UNION + one window pass
+    (one shuffle, no join explosion). DuckDB oracles it with its NATIVE
+    ASOF LEFT JOIN: an independent implementation of the semantics."""
+    from .operators.asof import asof_join
+
+    def build():
+        ev = _t(spark, sf_dir, "events")
+        epoch = F.col("ts").cast("timestamp").cast("double")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts",
+            F.col("event_id").alias("purchase_id"),
+            F.round("value", 2).alias("purchase_value"),
+            epoch.alias("p_epoch"),
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts",
+            F.col("event_id").alias("click_id"),
+            F.col("value").alias("c_value"),
+            epoch.alias("c_epoch"),
+        )
+        joined = asof_join(
+            purchases, clicks, key="user_id", ts="ts",
+            left_cols=["purchase_id", "user_id", "purchase_value", "p_epoch"],
+            right_cols=["click_id", "c_value", "c_epoch"],
+            right_seq="click_id",
+        )
+        return joined.select(
+            "purchase_id", "user_id", "purchase_value",
+            F.coalesce(F.col("asof_click_id"), F.lit(-1)).alias("click_id"),
+            F.round(F.coalesce(F.col("asof_c_value"), F.lit(-1.0)), 2).alias("click_value"),
+            F.round(
+                F.coalesce(F.col("p_epoch") - F.col("asof_c_epoch"), F.lit(-1.0)), 3
+            ).alias("gap_s"),
+        ).orderBy("purchase_id")
+
+    return _utc_plan(spark, build)
+
+
+ORACLE_EVENTS_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id AS click_id, value AS click_value,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'
+),
+c AS (SELECT user_id, ts, click_id, click_value FROM clicks WHERE rn = 1),
+p AS (SELECT event_id AS purchase_id, user_id, ts, value AS purchase_value
+      FROM events WHERE event_type = 'purchase')
+SELECT p.purchase_id, p.user_id, round(p.purchase_value, 2) AS purchase_value,
+       coalesce(c.click_id, -1) AS click_id,
+       round(coalesce(c.click_value, -1), 2) AS click_value,
+       round(coalesce(epoch(p.ts) - epoch(c.ts), -1), 3) AS gap_s
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY purchase_id
+"""
+
+
+def q_skew_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation (AGG-skew guard): identical result to
+    the plain GROUP BY (the oracle), shuffle spread over 16 subkeys."""
+    from .operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_agg(
+        ev, "user_id", F.col("event_id"), 16,
+        partial_aggs=[F.sum("value").alias("pv"), F.count(F.lit(1)).alias("pc")],
+        final_aggs=[
+            F.round(F.sum("pv"), 2).alias("total_value"),
+            F.sum("pc").alias("n_events"),
+        ],
+    ).orderBy("user_id")
+
+
+ORACLE_SKEW_SALTED_AGG = """
+SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_detect_format(spark, sf_dir):
     """Format registry (base_models.py:72-124 InputFormat maps) as an
     oracled query: deterministic filenames over `documents`, extension →
@@ -1163,6 +1293,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "confidence_report": q_confidence_report,
     "export_markdown": q_export_markdown,
     "detect_format": q_detect_format,
+    "embedding_ivf_ann": q_embedding_ivf_ann,
+    "events_asof_join": q_events_asof_join,
+    "skew_salted_agg": q_skew_salted_agg,
 }
 
 ORACLES: dict[str, str] = {
@@ -1197,4 +1330,7 @@ ORACLES: dict[str, str] = {
     "windowed_events": ORACLE_WINDOWED_EVENTS,
     "confidence_report": ORACLE_CONFIDENCE_REPORT,
     "detect_format": ORACLE_DETECT_FORMAT,
+    "embedding_ivf_ann": ORACLE_EMBEDDING_IVF_ANN,
+    "events_asof_join": ORACLE_EVENTS_ASOF_JOIN,
+    "skew_salted_agg": ORACLE_SKEW_SALTED_AGG,
 }

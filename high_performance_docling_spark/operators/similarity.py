@@ -245,3 +245,97 @@ def lsh_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "rk", "nbr_id", "cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means-bucket scale path
+# --------------------------------------------------------------------------
+
+# Deterministic seed centroids: embedding rows at fixed ids (a k-means fit
+# would replace this list at scale; fixed seeds keep the whole operator
+# SQL-expressible so DuckDB can oracle it exactly).
+IVF_DEFAULT_CENTROIDS = [3, 67, 131, 195, 259, 323, 387, 451]
+
+
+def _base(emb, id_col, vec_col):
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroid_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, v, centroid_id): each vector assigned to its argmax-cosine
+    centroid. Centroids broadcast (tiny); assignment cosine rounded to 9
+    decimals before the argmax so engine-level float fold order can't
+    flip ties (tie-break: lower centroid id)."""
+    centroid_ids = centroid_ids or IVF_DEFAULT_CENTROIDS
+    base = _base(emb, id_col, vec_col)
+    cents = base.filter(F.col("vec_id").isin(centroid_ids)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cid",
+        F.round(_cosine(F.col("v"), F.col("cv")), 9).alias("cscore"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cscore"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cid").alias("centroid_id"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    centroid_ids: list[int] | None = None,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 5,
+) -> DataFrame:
+    """IVF approximate top-k: score queries only against vectors assigned
+    to each query's ``n_probe`` nearest centroids (the inverted-file scan
+    pattern: candidates/query ~ n_probe * N / n_centroids; at scale the
+    centroid count grows ~sqrt(N) so the scan stays sublinear)."""
+    centroid_ids = centroid_ids or IVF_DEFAULT_CENTROIDS
+    base = _base(emb, id_col, vec_col)
+    assign = ivf_assign(emb, centroid_ids, id_col, vec_col)
+    cents = base.filter(F.col("vec_id").isin(centroid_ids)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    queries = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probe_w = W.partitionBy("query_id").orderBy(F.desc("cscore"), F.asc("cid"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "qv", "cid",
+            F.round(_cosine(F.col("qv"), F.col("cv")), 9).alias("cscore"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cid")
+    )
+    cand = assign.join(
+        F.broadcast(probes), assign.centroid_id == probes.cid
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("nbr_id"),
+        F.round(_cosine(F.col("qv"), F.col("v")), round_to).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "nbr_id", "cosine")
+    )

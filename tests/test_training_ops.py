@@ -245,3 +245,64 @@ def test_extract_figures_joins_with_span_media_refs(spark):
     # determinism: same crop bytes on a second run
     figs2 = {f["media_ref"]: f["crop_sha"] for f in extract_figures(docs, cfg).collect()}
     assert {f["media_ref"]: f["crop_sha"] for f in figs} == figs2
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive as-of: equal-ts right row is taken; (key, ts) ties on the
+    right deduped to max seq; no prior right row → null payload."""
+    from high_performance_docling_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "p1"), (1, 20.0, "p2"), (2, 5.0, "p3")],
+        ["k", "t", "pid"],
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0, 100, "r-at-10-a"), (1, 10.0, 101, "r-at-10-b"),
+         (1, 15.0, 102, "r-at-15"), (2, 9.0, 103, "r-late")],
+        ["k", "t", "seq", "payload"],
+    )
+    out = {
+        r["pid"]: (r["asof_seq"], r["asof_payload"])
+        for r in asof_join(
+            left, right, key="k", ts="t",
+            left_cols=["pid"], right_cols=["seq", "payload"], right_seq="seq",
+        ).collect()
+    }
+    assert out["p1"] == (101, "r-at-10-b")  # inclusive + tie → max seq
+    assert out["p2"] == (102, "r-at-15")    # latest at-or-before
+    assert out["p3"] == (None, None)        # right row is later → no match
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bf = SIM.brute_force_topk(emb, list(range(10)), k=5).collect()
+    ivf = SIM.ivf_topk(emb, list(range(10)), k=5, n_probe=2).collect()
+    bf_pairs = {(r["query_id"], r["nbr_id"]) for r in bf}
+    ivf_pairs = {(r["query_id"], r["nbr_id"]) for r in ivf}
+    recall = len(bf_pairs & ivf_pairs) / len(bf_pairs)
+    # approximate by design; with 8 centroids / 2 probes over near-random
+    # vectors expect a meaningful fraction, and never a false score
+    assert recall >= 0.2
+    assert len(ivf_pairs) == 50
+    bf_best = {r["query_id"]: r["cosine"] for r in bf if r["rk"] == 1}
+    for r in ivf:
+        assert r["cosine"] <= bf_best[r["query_id"]] + 1e-9
+
+
+def test_salted_agg_equals_direct_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from high_performance_docling_spark.operators.skew import salted_agg
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    salted = salted_agg(
+        ev, "user_id", F.col("event_id"), 16,
+        partial_aggs=[F.sum("value").alias("pv"), F.count(F.lit(1)).alias("pc")],
+        final_aggs=[F.round(F.sum("pv"), 2).alias("tv"), F.sum("pc").alias("n")],
+    ).collect()
+    direct = (
+        ev.groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("tv"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, salted)) == sorted(map(tuple, direct))
