@@ -46,18 +46,50 @@ def most_frequent_edge_color(image) -> Any:
                  for c in range(edges.shape[1]))
 
 
-def enrich_elements(elements: list[dict[str, Any]]) -> list[dict[str, Any]]:
-    """Batch-5 enrichment pass over code/formula elements: parses the
-    code-language prefix into ``code_language``; the VLM rewrite is the
-    identity in this sandbox. Mutates and returns the element list."""
-    work = [e for e in elements if e.get("label") in ("code", "formula")]
-    for start in range(0, len(work), ENRICH_BATCH_SIZE):
-        batch = work[start : start + ENRICH_BATCH_SIZE]
-        # a VLM would run one batched generate() over the crops here
+class SynthEnrichmentModel:
+    """Executor-local singleton 'VLM'. A real CodeFormula model load
+    replaces __init__; enrich_batch stays one batched generate() per
+    <=ENRICH_BATCH_SIZE elements (the reference's batch-5 loop)."""
+
+    def __init__(self) -> None:
+        self.n_forward_calls = 0
+
+    def enrich_batch(self, batch: list[dict[str, Any]]) -> list[dict[str, Any]]:
+        self.n_forward_calls += 1
         for el in batch:
             if el["label"] == "code":
                 body, lang = extract_code_language(el.get("text") or "")
                 el["text"] = body
                 if lang is not None:
                     el["code_language"] = lang
+        return batch
+
+
+_ENRICH_MODEL_SPEC = None
+
+
+def _enrich_model_spec():
+    global _ENRICH_MODEL_SPEC
+    if _ENRICH_MODEL_SPEC is None:
+        from ..operators.model_harness import ModelSpec
+
+        _ENRICH_MODEL_SPEC = ModelSpec(
+            name="synth-enrichment-vlm",
+            loader=SynthEnrichmentModel,
+            batch_size=ENRICH_BATCH_SIZE,
+            pad_by_repeat=False,  # CPU stand-in; static-shape GPU model pads
+        )
+    return _ENRICH_MODEL_SPEC
+
+
+def enrich_elements(elements: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """Batched enrichment pass over code/formula elements through the
+    model harness (executor-local singleton, fixed batch-5 chunks): parses
+    the code-language prefix into ``code_language``; the VLM rewrite is
+    the identity in this sandbox. Mutates and returns the element list."""
+    from ..operators.model_harness import FixedBatcher
+
+    work = [e for e in elements if e.get("label") in ("code", "formula")]
+    if work:
+        FixedBatcher(_enrich_model_spec(), SynthEnrichmentModel.enrich_batch).run(work)
     return elements

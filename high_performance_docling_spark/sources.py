@@ -40,3 +40,60 @@ def write_spans(
         df.writeTo(location).createOrReplace()
         return
     df.write.mode("overwrite").parquet(location)
+
+
+# --------------------------------------------------------------------------
+# URL manifest → document bytes (main.py:31-43 download + InputDocument)
+# --------------------------------------------------------------------------
+
+FETCH_SCHEMA = "doc_id string, url string, filename string, n_bytes int, payload binary"
+
+
+def _fake_fetch(url: str) -> bytes:
+    """Deterministic stand-in fetch: 'downloads' sha256-stream bytes of
+    the URL (no network in this sandbox)."""
+    import hashlib
+
+    return hashlib.sha256(url.encode()).digest() * 4
+
+
+def fetch_documents(manifest_df: DataFrame, fetcher=None, real_http: bool = False):
+    """Distributed download stage: (doc_id, url) manifest → document BYTES
+    rows, one fetch per row inside a mapInPandas pass (the Spark-shaped
+    form of main.py:31-33 ``requests.get``; at scale the manifest is the
+    work queue and fetch parallelism = partitions).
+
+    ``real_http`` is the production seam — requests/urllib are not
+    importable here, so it raises ``NotImplementedError`` exactly like
+    the multimodal codec seam; tests run the deterministic fake fetch.
+    """
+    if real_http:
+        raise NotImplementedError(
+            "HTTP fetch requires the requests package — not in this sandbox; "
+            "pass fetcher=<callable url -> bytes> in production"
+        )
+    fetch = fetcher or _fake_fetch
+
+    def fn(batches):
+        import pandas as pd
+
+        from .util import safe_id
+
+        for pdf in batches:
+            rows = []
+            for doc_id, url in zip(pdf["doc_id"], pdf["url"]):
+                data = fetch(url)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "url": url,
+                        "filename": safe_id(url) + ".pdf",
+                        "n_bytes": len(data),
+                        "payload": data,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "url", "filename", "n_bytes", "payload"]
+            )
+
+    return manifest_df.mapInPandas(fn, FETCH_SCHEMA)

@@ -80,3 +80,23 @@ def test_sources_parquet_fallback(spark, tmp_path):
     out = str(tmp_path / "spans_tbl")
     write_spans(df, out, partitions=2)
     assert read_corpus(spark, out).count() == 1
+
+
+def test_fetch_documents_source(spark):
+    """URL-manifest download stage (main.py:31-43 seam): deterministic
+    fake fetch in-sandbox, real HTTP behind NotImplementedError."""
+    import pytest
+
+    from high_performance_docling_spark.sources import fetch_documents
+
+    manifest = spark.createDataFrame(
+        [("d1", "https://ex.com/a b.pdf"), ("d2", "https://ex.com/two.pdf")],
+        ["doc_id", "url"],
+    )
+    rows = {r["doc_id"]: r for r in fetch_documents(manifest).collect()}
+    assert rows["d1"]["filename"] == "https_ex.com_a_b.pdf.pdf"
+    assert rows["d1"]["n_bytes"] == 128 and len(rows["d1"]["payload"]) == 128
+    rows2 = {r["doc_id"]: bytes(r["payload"]) for r in fetch_documents(manifest).collect()}
+    assert {k: bytes(v["payload"]) for k, v in rows.items()} == rows2
+    with pytest.raises(NotImplementedError):
+        fetch_documents(manifest, real_http=True)
