@@ -264,6 +264,20 @@ def _base(emb, id_col, vec_col):
     )
 
 
+def _collect_centroids(
+    emb: DataFrame, centroid_ids: list[int], id_col: str, vec_col: str
+) -> list[tuple[int, list[float]]]:
+    """Centroid vectors to the driver — k rows, bounded by the centroid
+    count (driver-controlled model state, exactly like a k-means fit's
+    output or the LSH literal weights). NOT a data-sized collect."""
+    rows = (
+        emb.filter(F.col(id_col).isin(centroid_ids))
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
+    )
+    return sorted((int(r["cid"]), [float(x) for x in r["cv"]]) for r in rows)
+
+
 def ivf_assign(
     emb: DataFrame,
     centroid_ids: list[int] | None = None,
@@ -271,23 +285,21 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(vec_id, v, centroid_id): each vector assigned to its argmax-cosine
-    centroid. Centroids broadcast (tiny); assignment cosine rounded to 9
-    decimals before the argmax so engine-level float fold order can't
-    flip ties (tie-break: lower centroid id)."""
+    centroid — a PURE PROJECTION (zero shuffle): centroid vectors are
+    embedded as literal arrays and the argmax is a greatest() over
+    (score, -cid) structs, so a 100 TB scan assigns in one pass.
+    Assignment cosine rounded to 9 decimals so engine-level float fold
+    order can't flip ties (tie-break: lower centroid id)."""
     centroid_ids = centroid_ids or IVF_DEFAULT_CENTROIDS
     base = _base(emb, id_col, vec_col)
-    cents = base.filter(F.col("vec_id").isin(centroid_ids)).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    scored = base.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "cid",
-        F.round(_cosine(F.col("v"), F.col("cv")), 9).alias("cscore"),
-    )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cscore"), F.asc("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("cid").alias("centroid_id"))
+    cands = []
+    for cid, cv in _collect_centroids(emb, centroid_ids, id_col, vec_col):
+        cv_lit = F.array(*[F.lit(x) for x in cv])
+        score = F.round(_cosine(F.col("v"), cv_lit), 9)
+        cands.append(F.struct(score.alias("s"), F.lit(-cid).alias("negcid")))
+    best = F.greatest(*cands) if len(cands) > 1 else cands[0]
+    return base.select(
+        "vec_id", "v", (-best["negcid"]).cast("long").alias("centroid_id")
     )
 
 

@@ -58,3 +58,27 @@ def test_pair_queries_never_nested_loop_join(spark):
         p = plan(spark, name)
         assert "BroadcastNestedLoopJoin" not in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_ivf_assignment_is_projection_no_data_shuffle(spark):
+    # the corpus-side centroid assignment must be a pure projection
+    # (literal centroids + greatest()); the only hash exchanges are the
+    # tiny query-side probe window and the final per-query top-k window,
+    # and the only BNLJ is the 10-query x 8-centroid broadcast cross
+    p = plan(spark, "embedding_ivf_ann")
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_asof_join_single_key_shuffle_no_join(spark):
+    p = plan(spark, "events_asof_join")
+    assert "SortMergeJoin" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p  # the tagged-union window pass
+
+
+def test_salted_agg_two_phase_shape(spark):
+    p = plan(spark, "skew_salted_agg")
+    # phase 1 shuffles on (key, salt), phase 2 on key
+    assert "__salt" in p
+    assert p.count("Exchange hashpartitioning") == 2
