@@ -41,3 +41,27 @@ def test_stream_windowed_counts_matches_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """A duplicated (at-least-once) feed dedups to the batch-distinct set;
+    state bounded by the watermark horizon."""
+    import shutil
+
+    from high_performance_docling_spark.streaming.dedup import (
+        run_stream_append,
+        stream_dedup_events,
+    )
+
+    src = tmp_path / "dup_stream"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "part-0.parquet")
+    shutil.copy(f"{SF}/events.parquet", src / "part-1.parquet")  # full replay
+    out = run_stream_append(
+        stream_dedup_events(spark, str(src)), "t_dedup_stream"
+    ).collect()
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    assert len(out) == batch.count()
+    assert {r["event_id"] for r in out} == {
+        r["event_id"] for r in batch.select("event_id").collect()
+    }
