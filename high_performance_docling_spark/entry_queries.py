@@ -715,6 +715,48 @@ ORDER BY x, y
 )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Duplicate-cluster formation: connected components over the SimHash
+    near-dup pair graph (iterative min-label propagation with a flat
+    lineage; the oracle walks the same graph with a RECURSIVE CTE —
+    an independent implementation of the transitive closure)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.simhash_band_pairs(DD.simhash(docs, bits=16))
+    comps = DD.connected_components(pairs)
+    sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        comps.join(sizes, "comp")
+        .select(F.col("node").alias("doc_id"), F.col("comp").alias("component"),
+                "n_members")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_COMPONENTS = (
+    "WITH RECURSIVE fp AS ("
+    + ORACLE_SIMHASH.replace("ORDER BY doc_id", "")
+    + """),
+pairs AS (
+  SELECT a.doc_id AS x, b.doc_id AS y
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+edges AS (SELECT x AS s, y AS d FROM pairs UNION ALL SELECT y, x FROM pairs),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+walk(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d, w.comp FROM edges e JOIN walk w ON e.s = w.node
+),
+comp AS (SELECT node, min(comp) AS component FROM walk GROUP BY node),
+sizes AS (SELECT component, count(*) AS n_members FROM comp GROUP BY component)
+SELECT node AS doc_id, component, n_members
+FROM comp JOIN sizes USING (component)
+ORDER BY doc_id
+"""
+)
+
+
 def q_language_id(spark, sf_dir):
     return TA.language_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -1296,6 +1338,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ivf_ann": q_embedding_ivf_ann,
     "events_asof_join": q_events_asof_join,
     "skew_salted_agg": q_skew_salted_agg,
+    "dedup_components": q_dedup_components,
 }
 
 ORACLES: dict[str, str] = {
@@ -1333,4 +1376,5 @@ ORACLES: dict[str, str] = {
     "embedding_ivf_ann": ORACLE_EMBEDDING_IVF_ANN,
     "events_asof_join": ORACLE_EVENTS_ASOF_JOIN,
     "skew_salted_agg": ORACLE_SKEW_SALTED_AGG,
+    "dedup_components": ORACLE_DEDUP_COMPONENTS,
 }

@@ -308,6 +308,7 @@ def postprocess_page(
     epsilon: float = 1e-4,
     keep_empty_clusters: bool = False,
     create_orphan_clusters: bool = True,
+    sort_mode: str = "id",
 ) -> list[dict]:
     """Run the full layout post-process for one page.
 
@@ -440,7 +441,7 @@ def postprocess_page(
     contained_ids = {child["id"] for sp in spec for child in sp["children"]}
     reg = [c for c in reg if c["id"] not in contained_ids]
 
-    final = _sort_clusters_id(reg + spec)
+    final = sort_clusters(reg + spec, sort_mode)
     for c in final:
         c["cells"] = _sort_cells(c["cells"])
         for child in c["children"]:

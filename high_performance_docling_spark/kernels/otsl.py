@@ -221,3 +221,19 @@ def translate_bboxes(
             tt + h * y2,
         ])
     return out
+
+
+def normalize_bboxes(
+    table_bbox: list[float], page_bboxes: list[list[float]]
+) -> list[list[float]]:
+    """Inverse of :func:`translate_bboxes`: page TOP-LEFT coords →
+    normalized table coords (the page→model-input direction a real
+    TableFormer feeds its bbox head with, tf_predictor.py crop space).
+    Round-trip exact up to float division."""
+    tl, tt, tr, tb = table_bbox
+    w = max(tr - tl, 1e-9)
+    h = max(tb - tt, 1e-9)
+    return [
+        [(x1 - tl) / w, (y1 - tt) / h, (x2 - tl) / w, (y2 - tt) / h]
+        for x1, y1, x2, y2 in page_bboxes
+    ]

@@ -211,3 +211,57 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return bit_sums.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "x", b_col: str = "y",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster formation: connected components over near-dup
+    pair edges, component id = min reachable doc id.
+
+    Iterative min-label propagation — the canonical Spark shape for an
+    iterative graph algorithm: a driver loop of (edge join → min agg →
+    label update), each round materialized with localCheckpoint so the
+    lineage stays flat, stopping at the fixpoint. Rounds needed = max
+    over nodes of the hop distance to its component's min node — tiny for
+    near-dup clusters (dense, small diameter). For web-scale graphs with
+    long chains swap the update rule for large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same loop skeleton, O(log n) rounds.
+
+    Returns (node, comp) for every node appearing in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+        .unionByName(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nmin = (
+            edges.join(labels, edges.s == labels.node)
+            .groupBy(edges.d.alias("node"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nmin, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "node")
+            .filter(F.col("a.comp") != F.col("b.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -303,3 +303,18 @@ def test_table_structure_iou_matcher_end_to_end():
     out = table_structure_for_tokens([0, 0, 100, 60], toks, matcher="iou")
     assert out is not None and out["num_rows"] == 2 and out["num_cols"] == 2
     assert all(f"c{i}" in out["text"] for i in range(4))
+
+
+def test_normalize_translate_roundtrip():
+    from high_performance_docling_spark.kernels.otsl import (
+        normalize_bboxes,
+        translate_bboxes,
+    )
+
+    table = [100.0, 200.0, 300.0, 260.0]
+    page_boxes = [[110.0, 210.0, 150.0, 220.0], [100.0, 200.0, 300.0, 260.0]]
+    norm = normalize_bboxes(table, page_boxes)
+    assert norm[1] == [0.0, 0.0, 1.0, 1.0]
+    back = translate_bboxes(table, norm)
+    for a, b in zip(back, page_boxes):
+        assert all(abs(x - y) < 1e-9 for x, y in zip(a, b))

@@ -306,3 +306,17 @@ def test_salted_agg_equals_direct_groupby(spark):
         .collect()
     )
     assert sorted(map(tuple, salted)) == sorted(map(tuple, direct))
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation reaches the far end of a chain (needs
+    multiple iterations) and keeps islands separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain → comp 1
+         (10, 11), (11, 12),                  # triangle-ish → comp 10
+         (20, 21)],                           # pair → comp 20
+        ["x", "y"],
+    )
+    out = {r["node"]: r["comp"] for r in DD.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
