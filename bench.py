@@ -176,8 +176,22 @@ def main() -> None:
         results[name] = round(time.monotonic() - t0, 3)
     spark.stop()
 
+    # noise-free reference point: serial kernel cost per document (no
+    # Spark, single thread) — the number host contention cannot touch;
+    # full-width throughput ≈ 1000/kernel_ms * effective_cores when quiet
+    from high_performance_docling_spark.corpus import GenConfig, generate_corpus
+    from high_performance_docling_spark.oracle import extract_doc_spans
+
+    kcfg = GenConfig(seed=42, n_docs=100)
+    kdocs = generate_corpus(kcfg)
+    t0 = time.monotonic()
+    for d in kdocs:
+        extract_doc_spans(d["doc_id"], d["spans"], kcfg)
+    kernel_ms = (time.monotonic() - t0) / len(kdocs) * 1000.0
+
     out = {
         "metric": "headline suite + e2e span extraction wall time",
+        "kernel_ms_per_doc_serial": round(kernel_ms, 3),
         "value": round(sum(results.values()), 3),
         "unit": "sec",
         "queries": results,

@@ -662,6 +662,62 @@ ORDER BY a, b
 )
 
 
+def q_dedup_minhash_verified(spark, sf_dir):
+    """The full two-stage near-dup pipeline: MinHash+LSH candidate pairs
+    (cheap, banded equi-join) → exact n-gram Jaccard verify on ONLY the
+    candidates (the verify join is pair-keyed, so its cost scales with
+    candidates, not with N²) — the shape a 100 TB dedup actually runs."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = DD.shingles(docs, n=3)
+    cands = DD.lsh_candidate_pairs(
+        DD.minhash_signatures(sh, n_hashes=16), n_hashes=16, bands=4
+    )
+    # exact Jaccard restricted to candidate pairs via a semi-join shape
+    jac = DD.ngram_jaccard_pairs(sh, threshold=0.0)
+    return (
+        cands.join(jac, ["a", "b"], "inner")
+        .filter(F.col("jaccard") >= 0.2)
+        .orderBy("a", "b")
+    )
+
+
+ORACLE_MINHASH_VERIFIED = (
+    _SHINGLES_CTE
+    + ", sig AS (SELECT doc_id, "
+    + ", ".join(_mh_sql(i) for i in range(16))
+    + " FROM sh GROUP BY doc_id),\nbanded AS (\n"
+    + "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('_', "
+        + ", ".join(f"mh{b * 4 + r}" for r in range(4))
+        + ")) AS sig FROM sig"
+        for b in range(4)
+    )
+    + """
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS nc
+  FROM sh x JOIN sh y USING (sh)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT a, b, round(nc / (sa.n + sb.n - nc), 4) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+)
+SELECT cands.a, cands.b, jac.jaccard
+FROM cands JOIN jac USING (a, b)
+WHERE jac.jaccard >= 0.2
+ORDER BY a, b
+"""
+)
+
+
 def q_dedup_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return DD.simhash(docs, bits=16).orderBy("doc_id")
@@ -1323,6 +1379,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_kv_suppression_antijoin": q_geo_kv_suppression,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_verified": q_dedup_minhash_verified,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "language_id": q_language_id,
@@ -1363,6 +1420,7 @@ ORACLES: dict[str, str] = {
     "geo_kv_suppression_antijoin": ORACLE_GEO_KV_SUPPRESSION,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
+    "dedup_minhash_verified": ORACLE_MINHASH_VERIFIED,
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "language_id": ORACLE_LANGUAGE_ID,

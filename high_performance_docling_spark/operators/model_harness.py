@@ -121,6 +121,7 @@ def arrow_model_stage(
     forward: Callable[[Any, list], list],
     result_fn: Callable[[dict, Any], dict],
     out_schema,
+    on_complete: Callable[[int, int], None] | None = None,
 ):
     """Generic model-inference stage: ``mapInArrow`` over ``df``, batching
     rows across Arrow record batches into fixed-size ``forward`` calls.
@@ -141,6 +142,7 @@ def arrow_model_stage(
         batcher = FixedBatcher(spec, forward)
         pending: list[dict] = []  # rows awaiting their model result, in order
         done: list[dict] = []
+        n_rows = 0
 
         def drain(results: Iterator[Any]) -> None:
             for res in results:
@@ -149,11 +151,14 @@ def arrow_model_stage(
         for rb in batches:
             for row in rb.to_pylist():
                 pending.append(row)
+                n_rows += 1
                 drain(batcher.add(item_fn(row)))
             if done:
                 yield pa.RecordBatch.from_pylist(done, schema=arrow_schema)
                 done = []
         drain(batcher.finish())
+        if on_complete is not None:
+            on_complete(n_rows, batcher.n_forward_calls)
         if done:
             yield pa.RecordBatch.from_pylist(done, schema=arrow_schema)
 

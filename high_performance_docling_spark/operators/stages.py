@@ -185,8 +185,13 @@ def detect_stage(parsed_df, cfg: GenConfig, lineage_dir: str | None = None,
             "detections": dets,
         }
 
+    t0 = time.monotonic()
+
+    def on_complete(n_rows: int, n_forwards: int) -> None:
+        _write_lineage(lineage_dir, "detect", n_rows, n_rows, t0)
+
     return arrow_model_stage(parsed_df, spec, item_fn, forward, result_fn,
-                             PAGES_SCHEMA)
+                             PAGES_SCHEMA, on_complete=on_complete)
 
 
 # --------------------------------------------------------------------------
