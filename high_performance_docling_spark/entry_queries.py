@@ -859,6 +859,70 @@ FROM t ORDER BY doc_id
 """
 
 
+def q_bpe_token_profile(spark, sf_dir):
+    return TA.bpe_token_profile(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# Java regex (Spark) and RE2 (DuckDB) agree on the ASCII BPE pattern;
+# the SQL literal doubles the apostrophe.
+ORACLE_BPE_TOKEN_PROFILE = """
+WITH t AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, ' ?''?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))
+           AS n_bpe_tokens
+  FROM documents
+)
+SELECT doc_id, n_bpe_tokens,
+       round(CASE WHEN n_bpe_tokens > 0
+                  THEN length(text) / n_bpe_tokens ELSE 0.0 END, 4)
+         AS chars_per_token
+FROM t ORDER BY doc_id
+"""
+
+
+def q_gopher_quality(spark, sf_dir):
+    return TA.gopher_quality(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+ORACLE_GOPHER_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_words,
+         list_sum(list_transform(toks, x -> length(x)))::BIGINT AS sum_len,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         (length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '…', ''))) AS n_sym,
+         len(list_filter(toks, x -> x IN
+             ('the','be','to','of','and','that','have','with'))) AS stopword_hits
+  FROM t
+),
+s AS (
+  SELECT doc_id, n_words,
+         round(CASE WHEN n_words > 0 THEN sum_len / n_words ELSE 0.0 END, 4)
+           AS mean_word_len,
+         round(CASE WHEN n_words > 0 THEN n_alpha / n_words ELSE 0.0 END, 4)
+           AS frac_alpha_words,
+         round(CASE WHEN n_words > 0 THEN n_sym / n_words ELSE 0.0 END, 4)
+           AS symbol_word_ratio,
+         stopword_hits
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, frac_alpha_words, symbol_word_ratio,
+       stopword_hits,
+       (n_words BETWEEN 50 AND 100000)
+       AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       AND (symbol_word_ratio < 0.1)
+       AND (frac_alpha_words > 0.8)
+       AND (stopword_hits >= 2) AS gopher_pass
+FROM s ORDER BY doc_id
+"""
+
+
 def q_token_profile(spark, sf_dir):
     return TA.token_counts(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -1385,6 +1449,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id": q_language_id,
     "doc_fingerprints": q_fingerprints,
     "token_profile": q_token_profile,
+    "bpe_token_profile": q_bpe_token_profile,
+    "gopher_quality": q_gopher_quality,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "embedding_lsh_ann": q_embedding_lsh_ann,
@@ -1426,6 +1492,8 @@ ORACLES: dict[str, str] = {
     "language_id": ORACLE_LANGUAGE_ID,
     "doc_fingerprints": ORACLE_FINGERPRINTS,
     "token_profile": ORACLE_TOKEN_PROFILE,
+    "bpe_token_profile": ORACLE_BPE_TOKEN_PROFILE,
+    "gopher_quality": ORACLE_GOPHER_QUALITY,
     "embedding_cosine_topk": ORACLE_EMBEDDING_COSINE_TOPK,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "windowed_events": ORACLE_WINDOWED_EVENTS,

@@ -95,3 +95,63 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         F.md5(F.col(text_col)).alias("content_md5"),
         pos_hash.alias("rolling_hash"),
     )
+
+
+# GPT-2-style pre-tokenizer shape: word / number / punctuation runs with
+# optional leading space + leading apostrophe contractions (ASCII subset —
+# RE2 and Java regex agree on it, so DuckDB can oracle the exact counts)
+BPE_PATTERN = " ?'?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+def bpe_token_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BPE-ish tokenization profile: regex token count + chars/token (a
+    cheap compression-rate proxy for data-quality filtering)."""
+    n = F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_bpe_tokens"),
+        F.round(
+            F.when(n > 0, F.length(text_col) / n).otherwise(F.lit(0.0)), 4
+        ).alias("chars_per_token"),
+    )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-rules quality filter (Rae et al. 2021, §A1.1): word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio, alphabetic-word
+    fraction, stop-word floor — each metric emitted plus the combined
+    pass flag. All JVM-side column expressions."""
+    toks = _toks(text_col)
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(F.size(toks))
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    mean_len = F.round(F.when(n > 0, sum_len / n).otherwise(F.lit(0.0)), 4)
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    frac_alpha = F.round(F.when(n > 0, alpha / n).otherwise(F.lit(0.0)), 4)
+    n_sym = (
+        F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit("")))
+    ) + (
+        F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("…"), F.lit("")))
+    )
+    sym_ratio = F.round(F.when(n > 0, n_sym / n).otherwise(F.lit(0.0)), 4)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS)))
+    passed = (
+        n.between(50, 100000)
+        & mean_len.between(3.0, 10.0)
+        & (sym_ratio < 0.1)
+        & (frac_alpha > 0.8)
+        & (stop_hits >= 2)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        sym_ratio.alias("symbol_word_ratio"),
+        stop_hits.alias("stopword_hits"),
+        passed.alias("gopher_pass"),
+    )

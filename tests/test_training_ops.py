@@ -320,3 +320,31 @@ def test_connected_components_chain_and_islands(spark):
     out = {r["node"]: r["comp"] for r in DD.connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_gopher_quality_rules(spark):
+    """Gopher filter edges: short doc fails word-count floor; a doc with
+    long gibberish tokens fails mean-word-length / stopword rules."""
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat with joy and it was made of felt "
+                "and the day went on and on with more words to say here "
+                "about the cat and the mat and the felt and the joy that "
+                "it brought to everyone involved in the story today ok"),
+            (2, "short doc"),
+            (3, " ".join(["zzzzzzzzzzzzzzzzzzzzzz"] * 60)),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in TA.gopher_quality(df).collect()}
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["gopher_pass"] is False  # < 50 words
+    assert out[3]["gopher_pass"] is False  # mean word len 22 > 10, no stopwords
+    assert out[3]["stopword_hits"] == 0
+
+
+def test_bpe_token_profile_counts(spark):
+    df = spark.createDataFrame([(1, "Hello, world! it's 42 pies")], ["doc_id", "text"])
+    r = TA.bpe_token_profile(df).collect()[0]
+    assert r["n_bpe_tokens"] == 8  # Hello , world ! it 's 42 pies
+    assert r["chars_per_token"] == round(26 / 8, 4)
