@@ -923,6 +923,48 @@ FROM s ORDER BY doc_id
 """
 
 
+def q_repetition_scores(spark, sf_dir):
+    return TA.repetition_scores(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+ORACLE_REPETITION_SCORES = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, text, toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(toks[1:len(toks)-1],
+                     (x, i) -> concat_ws(' ', toks[i], toks[i+1]))
+              ELSE [] END AS grams
+  FROM t
+),
+e AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g
+),
+cnt AS (
+  SELECT doc_id, gram, count(*) AS c FROM e GROUP BY doc_id, gram
+),
+top AS (
+  SELECT doc_id, gram, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY c DESC, gram ASC) AS rn
+    FROM cnt
+  ) WHERE rn = 1
+)
+SELECT g.doc_id,
+       round(coalesce(top.c * length(top.gram) * 1.0 / length(g.text), 0.0), 4)
+         AS top_bigram_char_frac,
+       CASE WHEN len(g.toks) > 0
+            THEN round(1.0 - len(list_distinct(g.toks)) * 1.0 / len(g.toks), 4)
+            ELSE 0.0 END AS dup_token_frac
+FROM g LEFT JOIN top USING (doc_id)
+ORDER BY g.doc_id
+"""
+
+
 def q_token_profile(spark, sf_dir):
     return TA.token_counts(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -1451,6 +1493,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_profile": q_token_profile,
     "bpe_token_profile": q_bpe_token_profile,
     "gopher_quality": q_gopher_quality,
+    "repetition_scores": q_repetition_scores,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "embedding_lsh_ann": q_embedding_lsh_ann,
@@ -1494,6 +1537,7 @@ ORACLES: dict[str, str] = {
     "token_profile": ORACLE_TOKEN_PROFILE,
     "bpe_token_profile": ORACLE_BPE_TOKEN_PROFILE,
     "gopher_quality": ORACLE_GOPHER_QUALITY,
+    "repetition_scores": ORACLE_REPETITION_SCORES,
     "embedding_cosine_topk": ORACLE_EMBEDDING_COSINE_TOPK,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "windowed_events": ORACLE_WINDOWED_EVENTS,
@@ -1504,3 +1548,4 @@ ORACLES: dict[str, str] = {
     "skew_salted_agg": ORACLE_SKEW_SALTED_AGG,
     "dedup_components": ORACLE_DEDUP_COMPONENTS,
 }
+

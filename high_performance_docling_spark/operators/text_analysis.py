@@ -155,3 +155,44 @@ def gopher_quality(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         stop_hits.alias("stopword_hits"),
         passed.alias("gopher_pass"),
     )
+
+
+def repetition_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Repetition quality metrics (Gopher A1.1 'repetition removal'):
+    fraction of characters inside the most frequent word 2-gram, and the
+    duplicate-token fraction (1 - unique/total). Ties on the top 2-gram
+    break to the lexicographically smallest gram so the metric is
+    engine-deterministic. JVM-side only."""
+    toks = _toks(text_col)
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # per distinct gram: (-count, gram); array_min = (max count, min gram)
+    best = F.array_min(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.struct(
+                (-F.size(F.filter(grams, lambda x: x == g))).alias("neg_cnt"),
+                g.alias("gram"),
+            ),
+        )
+    )
+    top_frac = F.when(
+        F.size(grams) > 0,
+        F.round(
+            (-best["neg_cnt"]) * F.length(best["gram"]) / F.length(text_col), 4
+        ),
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        n > 0, F.round(1.0 - F.size(F.array_distinct(toks)) / n, 4)
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(top_frac, F.lit(0.0)).alias("top_bigram_char_frac"),
+        dup_frac.alias("dup_token_frac"),
+    )

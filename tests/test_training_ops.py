@@ -348,3 +348,19 @@ def test_bpe_token_profile_counts(spark):
     r = TA.bpe_token_profile(df).collect()[0]
     assert r["n_bpe_tokens"] == 8  # Hello , world ! it 's 42 pies
     assert r["chars_per_token"] == round(26 / 8, 4)
+
+
+def test_repetition_scores(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham spam ham"),   # heavy repetition
+            (2, "all words are fully distinct here now"), # none
+            (3, "single"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in TA.repetition_scores(df).collect()}
+    assert out[1]["dup_token_frac"] > 0.7
+    assert out[1]["top_bigram_char_frac"] > 0.5  # "spam ham" dominates
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[3]["top_bigram_char_frac"] == 0.0  # no 2-grams
