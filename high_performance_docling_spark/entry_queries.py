@@ -1398,6 +1398,173 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_events_range_join(spark, sf_dir):
+    """Points-in-interval range join through the BINNED equi-join
+    (operators/range_join.py): 40 md5-derived irregular promo windows
+    over the event timeline; events aggregated per window. The oracle
+    runs the naive BETWEEN theta join — same result, different plan."""
+    from .operators.range_join import binned_range_join
+
+    def build():
+        ev = _t(spark, sf_dir, "events")
+        epoch = F.col("ts").cast("timestamp").cast("double")
+        t0 = ev.agg(F.min(epoch).alias("t0"))
+
+        def h56(prefix):
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(prefix), F.col("id").cast("string"))), 1, 14
+                ),
+                16, 10,
+            ).cast("bigint")
+
+        ivs = (
+            spark.range(40)
+            .select(
+                F.col("id").alias("promo_id"),
+                (h56("iv:") % 604800).alias("off"),
+                (3600 + h56("len:") % 14400).alias("dur"),
+            )
+            .crossJoin(F.broadcast(t0))
+            .select(
+                "promo_id",
+                (F.col("t0") + F.col("off")).alias("start_s"),
+                (F.col("t0") + F.col("off") + F.col("dur")).alias("end_s"),
+            )
+        )
+        pts = ev.select("event_id", epoch.alias("ts_s"), "value")
+        joined = binned_range_join(pts, ivs, "ts_s", "start_s", "end_s", 3600.0)
+        return (
+            joined.groupBy("promo_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .orderBy("promo_id")
+        )
+
+    return _utc_plan(spark, build)
+
+
+ORACLE_EVENTS_RANGE_JOIN = """
+WITH t0 AS (SELECT min(epoch(ts)) AS t0 FROM events),
+iv AS (
+  SELECT i AS promo_id,
+         t0 + (('0x' || substr(md5('iv:' || i), 1, 14))::BIGINT % 604800)
+           AS start_s,
+         t0 + (('0x' || substr(md5('iv:' || i), 1, 14))::BIGINT % 604800)
+            + 3600 + (('0x' || substr(md5('len:' || i), 1, 14))::BIGINT % 14400)
+           AS end_s
+  FROM range(40) r(i), t0
+),
+p AS (SELECT event_id, epoch(ts) AS ts_s, value FROM events)
+SELECT promo_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM iv JOIN p ON p.ts_s >= iv.start_s AND p.ts_s < iv.end_s
+GROUP BY promo_id ORDER BY promo_id
+"""
+
+
+def q_events_time_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup: hour + day + grand-total
+    grains in one pass via ROLLUP(day, hour) (continuous-aggregate
+    pattern). Null grain keys coalesce to -1 so the driver hash is
+    engine-neutral."""
+    def build():
+        ev = _t(spark, sf_dir, "events")
+        epoch = F.col("ts").cast("timestamp").cast("double")
+        base = ev.select(
+            F.floor(epoch / 86400).cast("long").alias("day"),
+            F.floor(epoch / 3600).cast("long").alias("hour"),
+            "value",
+        )
+        return (
+            base.rollup("day", "hour")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"),
+                 F.grouping_id().alias("grain"))
+            .select(
+                F.coalesce("day", F.lit(-1)).alias("day"),
+                F.coalesce("hour", F.lit(-1)).alias("hour"),
+                "grain", "n_events", "total_value",
+            )
+            .orderBy("grain", "day", "hour")
+        )
+
+    return _utc_plan(spark, build)
+
+
+ORACLE_EVENTS_TIME_ROLLUP = """
+WITH base AS (
+  SELECT floor(epoch(ts) / 86400)::BIGINT AS day,
+         floor(epoch(ts) / 3600)::BIGINT AS hour,
+         value
+  FROM events
+)
+SELECT coalesce(day, -1) AS day, coalesce(hour, -1) AS hour,
+       grouping(day, hour) AS grain,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM base GROUP BY ROLLUP (day, hour)
+ORDER BY grain, day, hour
+"""
+
+
+def q_kmv_distinct_sketch(spark, sf_dir):
+    """K-minimum-values distinct-count sketch (the portable alternative
+    to HLL: deterministic md5 hashes make the estimate — not just the
+    error bound — byte-identical across engines). Estimate per
+    event_type: distinct_users ≈ (k-1) * 2^56 / kth_min_hash."""
+    k = 32
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 14
+        ),
+        16, 10,
+    ).cast("bigint")
+    hashed = ev.select("event_type", h.alias("h")).distinct()
+    w = W.partitionBy("event_type").orderBy("h")
+    kth = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == k)
+        .select("event_type", F.col("h").alias("kth"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        kth.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.round(F.lit(float(k - 1)) * F.lit(float(1 << 56)) / F.col("kth"), 4)
+            .alias("kmv_estimate"),
+            "n_exact",
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_KMV_DISTINCT = """
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5('kmv:' || user_id), 1, 14))::BIGINT AS h
+  FROM events
+),
+kth AS (
+  SELECT event_type, h AS kth FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn = 32
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+)
+SELECT event_type,
+       round(31.0::DOUBLE * 72057594037927936::DOUBLE / kth, 4) AS kmv_estimate,
+       n_exact
+FROM kth JOIN exact USING (event_type)
+ORDER BY event_type
+"""
+
+
 def q_detect_format(spark, sf_dir):
     """Format registry (base_models.py:72-124 InputFormat maps) as an
     oracled query: deterministic filenames over `documents`, extension →
@@ -1505,6 +1672,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_join": q_events_asof_join,
     "skew_salted_agg": q_skew_salted_agg,
     "dedup_components": q_dedup_components,
+    "events_range_join": q_events_range_join,
+    "events_time_rollup": q_events_time_rollup,
+    "kmv_distinct_sketch": q_kmv_distinct_sketch,
 }
 
 ORACLES: dict[str, str] = {
@@ -1547,5 +1717,8 @@ ORACLES: dict[str, str] = {
     "events_asof_join": ORACLE_EVENTS_ASOF_JOIN,
     "skew_salted_agg": ORACLE_SKEW_SALTED_AGG,
     "dedup_components": ORACLE_DEDUP_COMPONENTS,
+    "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
+    "events_time_rollup": ORACLE_EVENTS_TIME_ROLLUP,
+    "kmv_distinct_sketch": ORACLE_KMV_DISTINCT,
 }
 

@@ -364,3 +364,34 @@ def test_repetition_scores(spark):
     assert out[1]["top_bigram_char_frac"] > 0.5  # "spam ham" dominates
     assert out[2]["dup_token_frac"] == 0.0
     assert out[3]["top_bigram_char_frac"] == 0.0  # no 2-grams
+
+
+def test_binned_range_join_equals_theta_join(spark):
+    """The binned equi-join must produce exactly the naive BETWEEN join's
+    result, including points on bucket boundaries and multi-bucket
+    intervals."""
+    from pyspark.sql import functions as F
+
+    from high_performance_docling_spark.operators.range_join import (
+        binned_range_join,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, float(i * 7 % 100)) for i in range(60)], ["pid", "ts_s"]
+    )
+    ivs = spark.createDataFrame(
+        [(0, 0.0, 10.0), (1, 5.0, 35.0), (2, 35.0, 36.0), (3, 90.0, 100.0),
+         (4, 10.0, 10.0)],  # empty interval matches nothing
+        ["iid", "start_s", "end_s"],
+    )
+    binned = {
+        (r["pid"], r["iid"])
+        for r in binned_range_join(pts, ivs, "ts_s", "start_s", "end_s", 10.0).collect()
+    }
+    naive = {
+        (r["pid"], r["iid"])
+        for r in pts.join(
+            ivs, (F.col("ts_s") >= F.col("start_s")) & (F.col("ts_s") < F.col("end_s"))
+        ).collect()
+    }
+    assert binned == naive and len(naive) > 0
