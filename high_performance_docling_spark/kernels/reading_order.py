@@ -30,17 +30,18 @@ _MIN_CUT_GAP = 0.5
 
 def _best_gap(intervals: list[tuple[float, float]], min_gap: float):
     """Widest whitespace gap separating the intervals into two non-empty
-    groups. Returns (gap_width, cut_position) or None."""
-    order = sorted(range(len(intervals)), key=lambda i: (intervals[i][0], intervals[i][1]))
+    groups. Returns (gap_width, cut_position) or None. (Sorting the
+    tuples directly is order-identical to sorting indices by (lo, hi) —
+    the hot path of XY-cut, so no lambda-key indirection.)"""
+    ivs = sorted(intervals)
     best = None
-    cur_end = None
-    for i in order:
-        lo, hi = intervals[i]
-        if cur_end is not None:
-            gap = lo - cur_end
-            if gap > min_gap and (best is None or gap > best[0]):
-                best = (gap, cur_end + gap / 2.0)
-        cur_end = hi if cur_end is None else max(cur_end, hi)
+    cur_end = ivs[0][1]
+    for lo, hi in ivs[1:]:
+        gap = lo - cur_end
+        if gap > min_gap and (best is None or gap > best[0]):
+            best = (gap, cur_end + gap / 2.0)
+        if hi > cur_end:
+            cur_end = hi
     return best
 
 
