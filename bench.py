@@ -159,6 +159,14 @@ def main() -> None:
                 break
             time.sleep(3)
             t_4n = min(t_4n, _run_pinned(big))
+        # symmetric guard: a ratio ABOVE 1.0 means the long N leg caught
+        # host noise (scaling of deterministic code can't be superlinear
+        # on one box) — re-sample the N child and keep its floor
+        for _ in range(2):
+            if (N_DOCS / t_4n) / (N_DOCS / t_n) / 4.0 <= 1.02:
+                break
+            time.sleep(3)
+            t_n = min(t_n, _run_pinned(small))
         results[f"extract_spans_e2e_{big}cores"] = round(t_4n, 3)
         results[f"extract_spans_e2e_{small}cores"] = round(t_n, 3)
         docs_s_4n = N_DOCS / t_4n
