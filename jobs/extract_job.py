@@ -40,6 +40,10 @@ def main() -> None:
     ap.add_argument("--lineage-dir", default=None)
     ap.add_argument("--mode", choices=["fused", "staged"], default="fused")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--with-confidence", action="store_true",
+                    help="attach the per-doc ConfidenceReport struct (fused mode)")
+    ap.add_argument("--figures-output", default=None,
+                    help="also write the figure-crop media table here")
     ap.add_argument(
         "--synthesize", type=int, default=0,
         help="generate N synthetic docs instead of reading --input",
@@ -73,10 +77,19 @@ def main() -> None:
         checkpoint_dir=args.checkpoint_dir,
         lineage_dir=args.lineage_dir,
         mode=args.mode,
+        with_confidence=args.with_confidence,
     )
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(f"extracted spans for {n} documents → {args.output}")
+    if args.figures_output:
+        from high_performance_docling_spark.operators.figures import extract_figures
+
+        extract_figures(docs, cfg).write.mode("overwrite").parquet(
+            args.figures_output
+        )
+        nf = spark.read.parquet(args.figures_output).count()
+        print(f"extracted {nf} figure crops → {args.figures_output}")
     spark.stop()
 
 
