@@ -965,6 +965,87 @@ ORDER BY g.doc_id
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """LLM pretraining chunking: 128-token windows, 32-token overlap —
+    pure array ops, one narrow pass (operators/chunking.py)."""
+    from .operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=128, overlap=32
+    ).orderBy("doc_id", "chunk_id")
+
+
+ORACLE_CHUNK_DOCUMENTS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+  FROM documents
+),
+e AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0,
+           ceil(greatest(n - 32, 1) / 96.0)::INT - 1)) AS chunk_id
+  FROM t
+)
+SELECT doc_id, chunk_id,
+       array_to_string(toks[chunk_id * 96 + 1 : chunk_id * 96 + 128], ' ')
+         AS chunk_text,
+       len(toks[chunk_id * 96 + 1 : chunk_id * 96 + 128]) AS n_tokens
+FROM e ORDER BY doc_id, chunk_id
+"""
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Sample packing: chunks → 256-token bins by running-cumsum shelf
+    packing; per-bin stats (fill ratio shows the waste bound)."""
+    from .operators.chunking import chunk_documents, pack_chunks
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=128, overlap=32
+    )
+    packed = pack_chunks(chunks, capacity=256)
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("n_tokens") / 256.0, 4).alias("fill_ratio"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+ORACLE_PACK_CHUNKS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+  FROM documents
+),
+e AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0,
+           ceil(greatest(n - 32, 1) / 96.0)::INT - 1)) AS chunk_id
+  FROM t
+),
+c AS (
+  SELECT doc_id, chunk_id,
+         len(toks[chunk_id * 96 + 1 : chunk_id * 96 + 128]) AS n_tokens
+  FROM e
+),
+b AS (
+  SELECT *,
+         (floor((sum(n_tokens) OVER (ORDER BY doc_id, chunk_id
+             ROWS UNBOUNDED PRECEDING) - n_tokens) / 256.0))::BIGINT AS bin_id
+  FROM c
+)
+SELECT bin_id, count(*) AS n_chunks, sum(n_tokens)::BIGINT AS total_tokens,
+       round(sum(n_tokens) / 256.0, 4) AS fill_ratio
+FROM b GROUP BY bin_id ORDER BY bin_id
+"""
+
+
 def q_token_profile(spark, sf_dir):
     return TA.token_counts(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -1661,6 +1742,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_profile": q_bpe_token_profile,
     "gopher_quality": q_gopher_quality,
     "repetition_scores": q_repetition_scores,
+    "chunk_documents": q_chunk_documents,
+    "pack_chunks": q_pack_chunks,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "embedding_lsh_ann": q_embedding_lsh_ann,
@@ -1708,6 +1791,8 @@ ORACLES: dict[str, str] = {
     "bpe_token_profile": ORACLE_BPE_TOKEN_PROFILE,
     "gopher_quality": ORACLE_GOPHER_QUALITY,
     "repetition_scores": ORACLE_REPETITION_SCORES,
+    "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
+    "pack_chunks": ORACLE_PACK_CHUNKS,
     "embedding_cosine_topk": ORACLE_EMBEDDING_COSINE_TOPK,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "windowed_events": ORACLE_WINDOWED_EVENTS,

@@ -395,3 +395,36 @@ def test_binned_range_join_equals_theta_join(spark):
         ).collect()
     }
     assert binned == naive and len(naive) > 0
+
+
+def test_chunk_documents_windows(spark):
+    from high_performance_docling_spark.operators.chunking import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(200))),  # 200 toks → 2 chunks
+         (2, "tiny doc"),                              # 1 chunk
+         (3, " ".join(f"x{i}" for i in range(129)))],  # 129 → 2 chunks
+        ["doc_id", "text"],
+    )
+    out = {(r["doc_id"], r["chunk_id"]): r for r in
+           chunk_documents(docs, chunk_size=128, overlap=32).collect()}
+    assert {k[0] for k in out} == {1, 2, 3}
+    assert out[(1, 0)]["n_tokens"] == 128
+    assert out[(1, 1)]["n_tokens"] == 104  # tokens 96..199
+    # overlap: chunk 1 starts at token 96 (= 128 - 32)
+    assert out[(1, 1)]["chunk_text"].split()[0] == "w96"
+    assert out[(2, 0)]["n_tokens"] == 2
+    assert (3, 1) in out and out[(3, 1)]["n_tokens"] == 33
+    # every token covered exactly (first chunk + strides)
+    packed = pack_chunks(chunk_documents(docs, 128, 32), capacity=256).collect()
+    bins = {}
+    for r in packed:
+        bins.setdefault(r["bin_id"], 0)
+        bins[r["bin_id"]] += r["n_tokens"]
+    # waste bound: every bin except maybe the last holds >= capacity - max_chunk
+    for b, tot in bins.items():
+        if b != max(bins):
+            assert tot >= 256 - 128
