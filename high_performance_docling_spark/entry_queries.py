@@ -1646,6 +1646,59 @@ ORDER BY event_type
 """
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Symmetric int8 embedding quantization (4x storage at 100 TB):
+    per-vector scale, quantized checksum, and the max dequant error
+    (bounded by scale/2 per component)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = SIM.quantize_embeddings(emb)
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    j = qdf.join(base, "vec_id")
+    # computed BEFORE the rounding projection: `round(scale,6) AS scale`
+    # in the same select would SHADOW the input column for later items
+    # via Spark's lateral-column-alias resolution and silently feed the
+    # rounded scale into the error math
+    j = j.withColumn(
+        "qsum",
+        F.aggregate(F.col("qvec"), F.lit(0).cast("long"), lambda acc, x: acc + x),
+    ).withColumn(
+        "max_err_raw",
+        F.aggregate(
+            F.zip_with(
+                F.col("v"), F.col("qvec"),
+                lambda x, q: F.abs(x - q * F.col("scale")),
+            ),
+            F.lit(0.0),
+            lambda acc, e: F.greatest(acc, e),
+        ),
+    )
+    return j.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        "qsum",
+        F.round("max_err_raw", 6).alias("max_abs_err"),
+    ).orderBy("vec_id")
+
+
+ORACLE_QUANTIZE_EMBEDDINGS = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+              ELSE 1.0 END AS scale
+  FROM base
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       list_sum(list_transform(v, x -> round(x / scale)))::BIGINT AS qsum,
+       round(list_max(list_transform(v,
+             x -> abs(x - round(x / scale) * scale))), 6) AS max_abs_err
+FROM q ORDER BY vec_id
+"""
+
+
 def q_detect_format(spark, sf_dir):
     """Format registry (base_models.py:72-124 InputFormat maps) as an
     oracled query: deterministic filenames over `documents`, extension →
@@ -1758,6 +1811,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_range_join": q_events_range_join,
     "events_time_rollup": q_events_time_rollup,
     "kmv_distinct_sketch": q_kmv_distinct_sketch,
+    "quantize_embeddings": q_quantize_embeddings,
 }
 
 ORACLES: dict[str, str] = {
@@ -1805,5 +1859,6 @@ ORACLES: dict[str, str] = {
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "events_time_rollup": ORACLE_EVENTS_TIME_ROLLUP,
     "kmv_distinct_sketch": ORACLE_KMV_DISTINCT,
+    "quantize_embeddings": ORACLE_QUANTIZE_EMBEDDINGS,
 }
 

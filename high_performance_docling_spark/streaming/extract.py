@@ -1,0 +1,51 @@
+"""Streaming span extraction: the flagship pipeline over a document feed.
+
+New corpus files land in a directory (at scale: an Iceberg/Kafka feed);
+each micro-batch runs the SAME fused extraction as the batch path via
+``foreachBatch`` — one code path for batch and streaming (the Structured
+Streaming pattern for stateless-per-document work; watermarked state is
+only needed by the windowed/sessionized operators, not here).
+
+Exactly-once note: parquet append inside foreachBatch is at-least-once
+on retry; production sinks use the (batch_id)-idempotent writers (Delta/
+Iceberg MERGE keyed on batch_id) — the seam is the ``process`` closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..corpus import GenConfig
+from ..pipeline import extract_spans
+from ..schemas import DOCS_SCHEMA
+
+
+def stream_extract_spans(
+    spark: SparkSession,
+    source_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: GenConfig,
+    max_files_per_trigger: int = 4,
+):
+    """Start an available-now streaming query: docs parquet feed →
+    fused extraction → parquet append. Returns the StreamingQuery."""
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        out = extract_spans(
+            batch_df.sparkSession, batch_df, cfg,
+            input_partitions=batch_df.sparkSession.sparkContext.defaultParallelism,
+        )
+        out.write.mode("append").parquet(output_dir)
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

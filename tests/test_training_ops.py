@@ -428,3 +428,25 @@ def test_chunk_documents_windows(spark):
     for b, tot in bins.items():
         if b != max(bins):
             assert tot >= 256 - 128
+
+
+def test_quantize_embeddings_error_bound(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    qdf = SIM.quantize_embeddings(emb)
+    base = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    j = qdf.join(base, "vec_id")
+    rows = j.select(
+        "vec_id", "scale",
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("qvec"),
+                       lambda x, q: F.abs(x - q * F.col("scale"))),
+            F.lit(0.0), lambda a, e: F.greatest(a, e),
+        ).alias("err"),
+        F.aggregate(F.transform("qvec", lambda q: F.abs(q)), F.lit(0),
+                    lambda a, q: F.greatest(a, q)).alias("qmax"),
+    ).collect()
+    for r in rows:
+        assert r["err"] <= r["scale"] / 2 + 1e-12  # symmetric-quant bound
+        assert r["qmax"] <= 127  # int8 range
