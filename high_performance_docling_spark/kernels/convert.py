@@ -103,18 +103,39 @@ def apply_ocr(
         )
 
 
+def _detect_batch(
+    items: list[tuple[str, TypesetPage]], cfg: GenConfig
+) -> list[list[dict]]:
+    """Layout detection through the model harness (same executor-local
+    singleton + fixed 32-page batches as the staged detect_stage), so the
+    fused path exercises the identical model seam."""
+    from ..operators.model_harness import FixedBatcher, ModelSpec
+    from ..operators.stages import SynthLayoutDetector
+
+    spec = ModelSpec(
+        name=f"synth-layout-detector:{cfg!r}",  # full cfg: any field changes detector behavior
+        loader=lambda: SynthLayoutDetector(cfg),
+        batch_size=32,
+        pad_by_repeat=False,  # CPU stand-in in the fused path; the staged
+        # GPU-shaped stage pads (detect_stage)
+    )
+    return FixedBatcher(spec, SynthLayoutDetector.predict_batch).run(items)
+
+
 def process_page_batch(
     items: list[tuple[str, TypesetPage]], cfg: GenConfig
 ) -> list[list[dict]]:
     """Layout postprocess each page, then OCR fill, then table structure —
-    OCR and table model batches form across the whole batch (which may mix
-    documents, as the Spark stage's Arrow batches do)."""
+    layout, OCR and table model batches all form across the whole batch
+    (which may mix documents, as the Spark stage's Arrow batches do),
+    each through the executor-local harness singleton."""
+    detections = _detect_batch(items, cfg)
     page_clusters = [
         postprocess_page(
-            p.width, p.height, p.cells, synth_detections(doc_id, p, cfg),
+            p.width, p.height, p.cells, dets,
             keep_empty_clusters=cfg.keep_empty_clusters,
         )
-        for doc_id, p in items
+        for (doc_id, p), dets in zip(items, detections)
     ]
     if cfg.keep_empty_clusters:
         apply_ocr([(doc_id, p.page_no) for doc_id, p in items], page_clusters)

@@ -155,7 +155,7 @@ def detect_stage(parsed_df, cfg: GenConfig, lineage_dir: str | None = None,
     fixed-size ``batch_size`` model calls, tail padded by repeating the
     last page (layout_predictor_gpu.py:267-275 semantics)."""
     spec = ModelSpec(
-        name=f"synth-layout-detector:{cfg.seed}:{cfg.n_docs}",
+        name=f"synth-layout-detector:{cfg!r}",  # full cfg: any field changes detector behavior
         loader=lambda: SynthLayoutDetector(cfg),
         batch_size=batch_size,
         pad_by_repeat=True,  # a CUDA-graph model needs static batch shape
