@@ -986,7 +986,7 @@ e AS (
   SELECT doc_id, toks,
          unnest(generate_series(0,
            ceil(greatest(n - 32, 1) / 96.0)::INT - 1)) AS chunk_id
-  FROM t
+  FROM t WHERE n > 0
 )
 SELECT doc_id, chunk_id,
        array_to_string(toks[chunk_id * 96 + 1 : chunk_id * 96 + 128], ' ')
@@ -1027,16 +1027,20 @@ e AS (
   SELECT doc_id, toks,
          unnest(generate_series(0,
            ceil(greatest(n - 32, 1) / 96.0)::INT - 1)) AS chunk_id
-  FROM t
+  FROM t WHERE n > 0
 ),
 c AS (
   SELECT doc_id, chunk_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 32 AS bucket,
          len(toks[chunk_id * 96 + 1 : chunk_id * 96 + 128]) AS n_tokens
   FROM e
 ),
 b AS (
+  -- one global window in the (bucket, doc_id, chunk_id) order is
+  -- value-identical to the Spark side's two-phase distributed prefix
+  -- sum (per-bucket local cumsum + broadcast bucket offsets)
   SELECT *,
-         (floor((sum(n_tokens) OVER (ORDER BY doc_id, chunk_id
+         (floor((sum(n_tokens) OVER (ORDER BY bucket, doc_id, chunk_id
              ROWS UNBOUNDED PRECEDING) - n_tokens) / 256.0))::BIGINT AS bin_id
   FROM c
 )

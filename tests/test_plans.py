@@ -77,6 +77,16 @@ def test_asof_join_single_key_shuffle_no_join(spark):
     assert "Window" in p  # the tagged-union window pass
 
 
+def test_pack_chunks_no_single_partition_window(spark):
+    # VERDICT r2 #1: the packing cumsum must be a two-phase distributed
+    # prefix sum — a global unpartitioned window would funnel every chunk
+    # row through ONE task (Exchange SinglePartition) at 100 TB
+    p = plan(spark, "pack_chunks")
+    assert "Exchange SinglePartition" not in p
+    # and the local cumsum window must be partitioned by the bucket
+    assert "_bucket" in p
+
+
 def test_salted_agg_two_phase_shape(spark):
     p = plan(spark, "skew_salted_agg")
     # phase 1 shuffles on (key, salt), phase 2 on key
