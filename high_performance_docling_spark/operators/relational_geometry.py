@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from ..util import read_table
+
 N_PAGES = 40
 
 # SQL fragments kept in lockstep with the DataFrame derivations below —
@@ -44,7 +46,7 @@ CLUSTERS_SQL = f"""
 
 
 def cells_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_table(spark, sf_dir, "lineitem")
     return li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("cell_id"),
         (F.col("l_orderkey") % N_PAGES).alias("page"),
@@ -60,7 +62,7 @@ def cells_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def clusters_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    p = read_table(spark, sf_dir, "part")
     return p.select(
         F.col("p_partkey").alias("cluster_id"),
         (F.col("p_partkey") % N_PAGES).alias("page"),
@@ -180,7 +182,7 @@ def kv_suppression_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     as an ANTI JOIN: keep wrappers that do NOT overlap >0.9 with a
     similar-confidence table. Wrappers derive from orders, tables from
     part; confidences are deterministic integer-derived."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = read_table(spark, sf_dir, "orders")
     wrappers = o.filter(F.col("o_orderkey") % 17 == 0).select(
         F.col("o_orderkey").alias("wrapper_id"),
         (F.col("o_orderkey") % N_PAGES).alias("page"),

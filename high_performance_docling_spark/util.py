@@ -14,3 +14,19 @@ def safe_id(url: str) -> str:
     """Strip protocol and non-filename chars (gpu_processor.py:366-368):
     the doc-id sanitizer used for regression/sink file names."""
     return re.sub(r"[^A-Za-z0-9._-]+", "_", url)
+
+
+_TABLE_CACHE: dict = {}
+
+
+def read_table(spark, sf_dir: str, name: str):
+    """Memoized testdata table read, keyed by (session, sf_dir, table).
+
+    DataFrames are immutable logical plans, so reuse is safe; memoizing
+    means the parquet footer schema-inference job spark.read.parquet
+    fires once per table and registry-query CONSTRUCTION stays job-free
+    (VERDICT r2 #7, asserted in tests/test_registry.py)."""
+    key = (id(spark), sf_dir, name)
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _TABLE_CACHE[key]

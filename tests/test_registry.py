@@ -28,3 +28,35 @@ def test_all_oracles_parse_in_duckdb():
             con.execute(f"EXPLAIN {sql}")
         except Exception as e:  # pragma: no cover
             raise AssertionError(f"oracle for {name!r} failed to plan: {e}")
+
+
+# Queries whose construction legitimately runs Spark jobs: model fitting
+# (kmeans_fit is a .fit()) and driver-side iterative fixpoints (connected
+# components). Everything else must build lazily — no .first()/.collect()
+# hidden in plan construction (VERDICT r2 #7).
+CONSTRUCTION_RUNS_JOBS = {"embedding_ivf_ann", "dedup_components"}
+
+
+def test_registry_construction_runs_no_jobs(spark):
+    sc = spark.sparkContext
+    # warm the per-table parquet footer schema-inference job (memoized
+    # in entry_queries._t) so it can't be mistaken for a query action
+    for t in TABLES:
+        QUERIES["pricing_summary"](spark, SF)  # touches lineitem
+    from high_performance_docling_spark.entry_queries import _t
+
+    for t in TABLES:
+        _t(spark, SF, t)
+    for name, fn in QUERIES.items():
+        group = f"registry-build-{name}"
+        sc.setJobGroup(group, name)
+        try:
+            fn(spark, SF)
+        finally:
+            sc.setJobGroup("", "")
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        if name in CONSTRUCTION_RUNS_JOBS:
+            continue
+        assert not jobs, (
+            f"{name} ran {len(jobs)} Spark job(s) during plan construction"
+        )

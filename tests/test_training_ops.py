@@ -77,7 +77,7 @@ def test_brute_force_topk_self_similarity(spark, emb):
 
 def test_lsh_topk_subset_of_bruteforce_scores(spark, emb):
     bf = SIM.brute_force_topk(emb, [0], k=5).collect()
-    ann = SIM.lsh_topk(emb, [0], k=5, n_planes=4).collect()
+    ann = SIM.lsh_topk(emb, [0], k=5, n_planes=4, dim=64).collect()
     # ANN scores can't beat exact top-1
     if ann:
         assert ann[0]["cosine"] <= bf[0]["cosine"] + 1e-9
@@ -139,7 +139,7 @@ def test_banded_near_dup_pairs_full_recall_vs_brute_force(spark):
     banded = sorted(
         (r["a"], r["b"], r["cosine"])
         for r in SIM.banded_near_dup_pairs(
-            emb, threshold=0.45, bands=32, planes_per_band=4
+            emb, threshold=0.45, bands=32, planes_per_band=4, dim=64
         ).collect()
     )
     assert banded == bf and len(bf) > 0
@@ -450,3 +450,41 @@ def test_quantize_embeddings_error_bound(spark):
     for r in rows:
         assert r["err"] <= r["scale"] / 2 + 1e-12  # symmetric-quant bound
         assert r["qmax"] <= 127  # int8 range
+
+
+def test_kmeans_fit_objective_improves_and_is_deterministic(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = SIM._base(emb, "vec_id", "embedding")
+
+    def objective(cents):
+        a = SIM.assign_to_centroids(base, cents)
+        cmap = {cid: cv for cid, cv in cents}
+        sdf = spark.createDataFrame(
+            [(cid, cv) for cid, cv in cents], "centroid_id long, cv array<double>"
+        )
+        return (
+            a.join(sdf, "centroid_id")
+            .select(F.avg(SIM._cosine(F.col("v"), F.col("cv"))).alias("o"))
+            .collect()[0]["o"]
+        )
+
+    c0 = SIM.kmeans_fit(emb, k=8, n_iter=0)   # just the md5-ordered seeds
+    c3 = SIM.kmeans_fit(emb, k=8, n_iter=3)
+    assert objective(c3) > objective(c0)       # Lloyd monotonicity
+    assert c3 == SIM.kmeans_fit(emb, k=8, n_iter=3)  # fully deterministic
+
+
+def test_kmeans_fitted_centroids_beat_seeds_on_ivf_recall(spark):
+    # VERDICT r2 #4 done-criterion: fitted > fixed-seed recall vs brute
+    # force (at sf0.01, where the clustering structure is visible)
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = list(range(10))
+    truth = {(r.query_id, r.nbr_id)
+             for r in SIM.brute_force_topk(emb, qids, k=5).collect()}
+    seed = {(r.query_id, r.nbr_id)
+            for r in SIM.ivf_topk(emb, qids, k=5, n_probe=2).collect()}
+    cents = SIM.kmeans_fit(emb, k=8, n_iter=3)
+    fit = {(r.query_id, r.nbr_id)
+           for r in SIM.ivf_topk(emb, qids, k=5, n_probe=2,
+                                 centroids=cents).collect()}
+    assert len(fit & truth) > len(seed & truth)
