@@ -20,7 +20,9 @@ from pyspark.sql import Window as W
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from .util import read_table
+
+    return read_table(spark, sf_dir, name)
 
 
 def _utc_plan(spark: SparkSession, build) -> DataFrame:
@@ -1108,7 +1110,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     the general recall bound is 1-(1-(1-θ/π)^r)^B per pair."""
     return SIM.banded_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.45,
-        bands=32, planes_per_band=4,
+        bands=32, planes_per_band=4, dim=_EMB_DIM,
     ).orderBy("a", "b")
 
 
@@ -1128,7 +1130,8 @@ def q_embedding_lsh_ann(spark, sf_dir):
     embedded as literals, so the DuckDB oracle reproduces the exact
     buckets (and therefore the exact result set)."""
     return SIM.lsh_topk(
-        _t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5, n_planes=4
+        _t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5, n_planes=4,
+        dim=_EMB_DIM,
     ).orderBy("query_id", "rk")
 
 
@@ -1201,14 +1204,21 @@ GROUP BY 1, 2 ORDER BY hour_bucket, event_type
 
 def q_confidence_report(spark, sf_dir):
     """Full ConfidenceReport semantics (base_models.py:379-459) on the
-    relational corpus: per page, layout_score = mean cluster confidence
-    (layout_model.py:243) and ocr_score = mean cell confidence (:247);
-    parse/table never set → NULL (the reference's NaN). Page mean =
-    nanmean over the 4 scores = (layout+ocr)/2; page low = nanquantile
-    q=0.05 = min + 0.05*(max-min) over the two set scores. Doc roll-up
-    (pages grouped 5-per-doc): mean of page means, MEAN of page lows
-    (:443-459 — a mean, not a quantile). The same kernels run on real
-    pipeline output via extract_spans(with_confidence=True)."""
+    relational corpus, ALL FOUR sub-scores (VERDICT r2 #6):
+      layout_score = mean cluster confidence      (layout_model.py:243)
+      ocr_score    = mean cell confidence         (:247)
+      parse_score  = low-decile (q=0.10, linear interpolation) of
+                     per-cell text-quality ratings — the docling parse
+                     analogue (kernels/confidence.py text_quality)
+      table_score  = mean confidence of TABLE-family clusters
+                     (cluster_id % 5 == 0 act as tables); NULL when the
+                     page has none — reported as the -1.0 sentinel so
+                     the value-hash compare is engine-portable
+    Page mean = nanmean over the SET scores; page low = nanquantile
+    q=0.05 with numpy's linear interpolation over the sorted set scores.
+    Doc roll-up (pages grouped 5-per-doc): mean of page means, MEAN of
+    page lows (:443-459 — a mean, not a quantile). The same kernels run
+    on real pipeline output via extract_spans(with_confidence=True)."""
     def grade(col):
         # score→grade thresholds from base_models.py:385-394
         return (
@@ -1224,17 +1234,40 @@ def q_confidence_report(spark, sf_dir):
     lay = clusters.groupBy("page").agg(
         F.round(F.avg("conf"), 6).alias("layout_score")
     )
+    tab = (
+        clusters.filter(F.col("cluster_id") % 5 == 0)
+        .groupBy("page")
+        .agg(F.round(F.avg("conf"), 6).alias("table_score"))
+    )
     cells = RG.cells_rel(spark, sf_dir).withColumn(
         "conf", ((F.col("cell_id") % 30) + 70) / 100.0
+    ).withColumn("tq", ((F.col("cell_id") % 41) + 55) / 100.0)
+    ocr = cells.groupBy("page").agg(
+        F.round(F.avg("conf"), 6).alias("ocr_score"),
+        F.round(F.percentile("tq", 0.10), 6).alias("parse_score"),
     )
-    ocr = cells.groupBy("page").agg(F.round(F.avg("conf"), 6).alias("ocr_score"))
-    lo = F.least(F.col("layout_score"), F.col("ocr_score"))
-    hi = F.greatest(F.col("layout_score"), F.col("ocr_score"))
+    scores = F.array_sort(
+        F.filter(
+            F.array("parse_score", "layout_score", "table_score", "ocr_score"),
+            lambda x: x.isNotNull(),
+        )
+    )
+    n = F.size(scores)
+    pos = F.lit(0.05) * (n - 1).cast("double")
+    i = F.floor(pos).cast("int")
+    q1 = F.element_at(scores, i + 1)
+    q2 = F.element_at(scores, F.least(i + F.lit(2), n))
     page = (
         lay.join(ocr, "page")
-        .withColumn("mean_score",
-                    F.round((F.col("layout_score") + F.col("ocr_score")) / 2, 6))
-        .withColumn("low_score", F.round(lo + 0.05 * (hi - lo), 6))
+        .join(tab, "page", "left")
+        .withColumn("_s", scores)
+        .withColumn(
+            "mean_score",
+            F.round(
+                F.aggregate("_s", F.lit(0.0), lambda a, x: a + x) / n, 6
+            ),
+        )
+        .withColumn("low_score", F.round(q1 + (pos - i) * (q2 - q1), 6))
         .withColumn("doc_id", F.floor(F.col("page") / 5).cast("long"))
     )
     doc = page.groupBy("doc_id").agg(
@@ -1245,7 +1278,8 @@ def q_confidence_report(spark, sf_dir):
         page.join(doc, "doc_id")
         .select(
             "doc_id", "page",
-            "layout_score",
+            "parse_score", "layout_score",
+            F.coalesce("table_score", F.lit(-1.0)).alias("table_score"),
             "ocr_score", "mean_score", "low_score",
             grade(F.col("mean_score")).alias("mean_grade"),
             grade(F.col("low_score")).alias("low_grade"),
@@ -1262,18 +1296,33 @@ ORACLE_CONFIDENCE_REPORT = _GEO_CTE + """
   SELECT page, round(avg(((cluster_id % 50) + 50) / 100.0), 6) AS layout_score
   FROM clusters GROUP BY page
 ),
+tab AS (
+  SELECT page, round(avg(((cluster_id % 50) + 50) / 100.0), 6) AS table_score
+  FROM clusters WHERE cluster_id % 5 = 0 GROUP BY page
+),
 ocr AS (
-  SELECT page, round(avg(((cell_id % 30) + 70) / 100.0), 6) AS ocr_score
+  SELECT page, round(avg(((cell_id % 30) + 70) / 100.0), 6) AS ocr_score,
+         round(quantile_cont(((cell_id % 41) + 55) / 100.0, 0.10), 6)
+           AS parse_score
   FROM cells GROUP BY page
 ),
+s AS (
+  SELECT page, parse_score, layout_score, table_score, ocr_score,
+         list_sort(list_filter(
+           [parse_score, layout_score, table_score, ocr_score],
+           x -> x IS NOT NULL)) AS arr
+  FROM lay JOIN ocr USING (page) LEFT JOIN tab USING (page)
+),
 p AS (
-  SELECT page, layout_score, ocr_score,
-         round((layout_score + ocr_score) / 2, 6) AS mean_score,
-         round(least(layout_score, ocr_score)
-               + 0.05 * (greatest(layout_score, ocr_score)
-                         - least(layout_score, ocr_score)), 6) AS low_score,
+  SELECT page, parse_score, layout_score, table_score, ocr_score,
+         round(list_sum(arr) / len(arr), 6) AS mean_score,
+         round(arr[(0.05 * (len(arr) - 1))::INT + 1]
+               + (0.05 * (len(arr) - 1)
+                  - floor(0.05 * (len(arr) - 1)))
+                 * (arr[least((0.05 * (len(arr) - 1))::INT + 2, len(arr))]
+                    - arr[(0.05 * (len(arr) - 1))::INT + 1]), 6) AS low_score,
          page // 5 AS doc_id
-  FROM lay JOIN ocr USING (page)
+  FROM s
 ),
 d AS (
   SELECT doc_id, round(avg(mean_score), 6) AS doc_mean_score,
@@ -1281,7 +1330,8 @@ d AS (
   FROM p GROUP BY doc_id
 )
 SELECT doc_id, page,
-       layout_score, ocr_score,
+       parse_score, layout_score,
+       coalesce(table_score, -1.0) AS table_score, ocr_score,
        mean_score, low_score,
        CASE WHEN mean_score < 0.5 THEN 'poor' WHEN mean_score < 0.8 THEN 'fair'
             WHEN mean_score < 0.9 THEN 'good' ELSE 'excellent' END AS mean_grade,
@@ -1353,21 +1403,70 @@ FROM s ORDER BY doc_id
 """
 
 
+_IVF_K, _IVF_ITERS = 8, 3
+
+
 def q_embedding_ivf_ann(spark, sf_dir):
-    """IVF approximate NN (the k-means-bucket scale path; deterministic
-    seed centroids keep it SQL-expressible, so the oracle reproduces the
-    exact assignment, probes and result set)."""
+    """IVF approximate NN over FITTED centroids: a distributed Lloyd
+    k-means (deterministic md5-ordered init, 3 iterations, rounded
+    updates) fits the coarse quantizer, then the corpus-side assignment
+    is a literal-array projection (zero shuffle). The fit is
+    deterministic and engine-portable, so the DuckDB oracle REPLAYS the
+    same 3 iterations in unrolled SQL and reproduces the exact
+    assignment, probes and result set. NOTE: the fit runs Spark jobs at
+    plan-build time by design (it is a .fit()); test_registry.py exempts
+    exactly this query from the lazy-construction rule."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_fit(emb, k=_IVF_K, n_iter=_IVF_ITERS)
     return SIM.ivf_topk(
-        _t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5, n_probe=2
+        emb, _ANN_QUERY_IDS, k=5, n_probe=2, centroids=cents
     ).orderBy("query_id", "rk")
 
 
-_IVF_CENT_SQL = ", ".join(str(i) for i in SIM.IVF_DEFAULT_CENTROIDS)
+def _kmeans_iter_sql(n_iter: int) -> str:
+    """Unrolled Lloyd-iteration CTEs c0..c{n}: assignment by argmax of
+    round(cosine, 9) (lower cid wins ties), update = per-position mean
+    rounded to 6 decimals, empty clusters keep the previous centroid —
+    the exact arithmetic SIM.kmeans_fit performs."""
+    parts = [
+        """
+c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid,
+         v AS cv
+  FROM base
+  QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 8
+)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+a{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT b.vec_id, b.v, c.cid,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY round(list_cosine_similarity(b.v, c.cv), 9) DESC,
+                      c.cid ASC) AS rn
+    FROM base b CROSS JOIN c{i - 1} c
+  ) WHERE rn = 1
+),
+u{i} AS (
+  SELECT cid, list(round(m, 6) ORDER BY pos) AS cv FROM (
+    SELECT cid, pos, avg(val) AS m FROM (
+      SELECT cid, unnest(v) AS val, unnest(range(1, len(v)+1)) AS pos
+      FROM a{i}
+    ) GROUP BY cid, pos
+  ) GROUP BY cid
+),
+c{i} AS (
+  SELECT p.cid, coalesce(u{i}.cv, p.cv) AS cv
+  FROM c{i - 1} p LEFT JOIN u{i} USING (cid)
+)""")
+    return ",".join(parts)
+
 
 ORACLE_EMBEDDING_IVF_ANN = f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents AS (SELECT vec_id AS cid, v AS cv FROM base
-          WHERE vec_id IN ({_IVF_CENT_SQL})),
+{_kmeans_iter_sql(_IVF_ITERS)},
+cents AS (SELECT cid, cv FROM c{_IVF_ITERS}),
 assign AS (
   SELECT vec_id, v, cid FROM (
     SELECT b.vec_id, b.v, c.cid,

@@ -96,7 +96,8 @@ def test_checkpoint_recovers_from_uncommitted_write(spark, tmp_path):
 def test_confidence_report_on_pipeline_output(spark):
     """extract_spans(with_confidence=True) carries the ConfidenceReport
     struct (base_models.py:379-459): per-page layout/ocr scores from the
-    post-processed clusters, NaN for never-set parse/table, doc roll-up =
+    post-processed clusters, parse (low-decile cell text quality) and
+    table (mean TABLE-cluster confidence) analogues, doc roll-up =
     mean of page means / mean of page lows."""
     import math
 
@@ -112,6 +113,7 @@ def test_confidence_report_on_pipeline_output(spark):
     out = extract_spans(spark, docs, cfg, with_confidence=True).collect()
     assert len(out) == 10
     saw_ocr = False
+    saw_table = False
     for row in out:
         conf = row["confidence"]
         assert conf["mean_grade"] in ("poor", "fair", "good", "excellent",
@@ -120,9 +122,13 @@ def test_confidence_report_on_pipeline_output(spark):
         pages = conf["pages"]
         assert len(pages) >= 1
         for p in pages:
-            # never-set scores (reference np.nan) serialize as null
-            assert p["parse_score"] is None and p["table_score"] is None
+            # a page with clusters has cells → parse_score set, in [0,1]
             assert p["layout_score"] is not None
+            assert p["parse_score"] is not None
+            assert 0.0 <= p["parse_score"] <= 1.0
+            if p["table_score"] is not None:
+                saw_table = True
+                assert 0.0 < p["table_score"] <= 1.0
             if p["ocr_score"] is not None:
                 saw_ocr = True
                 assert abs(p["ocr_score"] - 0.9) < 1e-9  # synthetic OCR conf
@@ -131,7 +137,7 @@ def test_confidence_report_on_pipeline_output(spark):
         lows = [p["low_score"] for p in pages if p["low_score"] is not None]
         assert abs(conf["mean_score"] - sum(means) / len(means)) < 1e-9
         assert abs(conf["low_score"] - sum(lows) / len(lows)) < 1e-9
-    assert saw_ocr
+    assert saw_ocr and saw_table
     # spot-check one doc against the serial oracle
     from high_performance_docling_spark.corpus import generate_doc
 
