@@ -59,15 +59,91 @@ def crop_bitmap(img: np.ndarray, bbox: list[float], scale: float) -> np.ndarray:
 
 
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Deterministic nearest-neighbor resize (stands in for cv2
-    INTER_AREA / torchvision BILINEAR; exact filter choice is a model
-    fidelity concern, not a pipeline-shape one)."""
+    """Nearest-neighbor resize — DEMOTED from the model paths (VERDICT r2
+    #5): kept only as a cheap exact-integer option for non-model uses and
+    tests. The layout/TF preprocess paths use resize_bilinear (the
+    parity-capable filter) and the table crop path uses resize_area."""
     in_h, in_w = img.shape[:2]
     if in_h == 0 or in_w == 0:
         return np.zeros((out_h, out_w) + img.shape[2:], dtype=img.dtype)
     ys = np.minimum((np.arange(out_h) * in_h // out_h), in_h - 1)
     xs = np.minimum((np.arange(out_w) * in_w // out_w), in_w - 1)
     return img[np.ix_(ys, xs)]
+
+
+def _linear_axis_weights(in_n: int, out_n: int) -> np.ndarray:
+    """[out_n, in_n] row-stochastic weights for BILINEAR antialias=False
+    resize along one axis, in torch/torchvision's align_corners=False
+    half-pixel convention (gpu_preprocess.py:92-101: F.resize(...,
+    InterpolationMode.BILINEAR, antialias=False)): source coordinate of
+    output i is (i + 0.5) * in/out - 0.5, clamped; two-tap linear
+    interpolation between its floor/ceil neighbors."""
+    w = np.zeros((out_n, in_n), dtype=np.float64)
+    scale = in_n / out_n
+    x = (np.arange(out_n) + 0.5) * scale - 0.5
+    x = np.clip(x, 0.0, in_n - 1)
+    x0 = np.floor(x).astype(int)
+    x1 = np.minimum(x0 + 1, in_n - 1)
+    f = x - x0
+    w[np.arange(out_n), x0] += 1.0 - f
+    w[np.arange(out_n), x1] += f
+    return w
+
+
+def _area_axis_weights(in_n: int, out_n: int) -> np.ndarray:
+    """[out_n, in_n] row-stochastic weights for AREA-average downscale
+    along one axis (cv2.INTER_AREA for shrink, tf_predictor.py:544-545):
+    output pixel i averages the input span [i*s, (i+1)*s) with fractional
+    boundary weights. For upscale (out_n > in_n) INTER_AREA degenerates
+    to bilinear-like sampling, so fall back to the linear weights."""
+    if out_n >= in_n:
+        return _linear_axis_weights(in_n, out_n)
+    w = np.zeros((out_n, in_n), dtype=np.float64)
+    scale = in_n / out_n
+    for i in range(out_n):
+        lo, hi = i * scale, (i + 1) * scale
+        j0, j1 = int(np.floor(lo)), int(np.ceil(hi))
+        for j in range(j0, min(j1, in_n)):
+            w[i, j] = min(hi, j + 1) - max(lo, j)
+    return w / scale
+
+
+def _resize_separable(img: np.ndarray, wh: np.ndarray, ww: np.ndarray) -> np.ndarray:
+    """Apply per-axis weight matrices: out = Wh @ img @ Ww^T (per
+    channel) — one vectorized pass, float64 accumulation."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    a = np.tensordot(wh, img.astype(np.float64), axes=(1, 0))  # [oh, w, c]
+    out = np.tensordot(a, ww, axes=(1, 1)).transpose(0, 2, 1)  # [oh, ow, c]
+    return out[..., 0] if squeeze else out
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Pure-NumPy bilinear resize, antialias=False, align_corners=False —
+    numerically equivalent to torchvision F.resize(BILINEAR,
+    antialias=False), the filter the reference's GPU preprocess uses and
+    gates at max-abs <= 1e-3 (scripts/verify_parity.py:116-117; parity
+    asserted against an independent scalar-loop implementation in
+    tests/test_training_ops.py). Returns float64; callers cast."""
+    in_h, in_w = img.shape[:2]
+    if in_h == 0 or in_w == 0:
+        return np.zeros((out_h, out_w) + img.shape[2:], dtype=np.float64)
+    return _resize_separable(
+        img, _linear_axis_weights(in_h, out_h), _linear_axis_weights(in_w, out_w)
+    )
+
+
+def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Pure-NumPy INTER_AREA-style resize (box average on shrink,
+    bilinear on stretch) — the table ROI downscale filter
+    (tf_predictor.py:544-545). Returns float64; callers cast."""
+    in_h, in_w = img.shape[:2]
+    if in_h == 0 or in_w == 0:
+        return np.zeros((out_h, out_w) + img.shape[2:], dtype=np.float64)
+    return _resize_separable(
+        img, _area_axis_weights(in_h, out_h), _area_axis_weights(in_w, out_w)
+    )
 
 
 def crop_table_rois(
@@ -94,7 +170,7 @@ def crop_table_rois(
         th = max(1, int(round((y2 - y1) * sf)))
         out.append(
             {
-                "image": resize_nearest(crop, th, tw),
+                "image": np.rint(resize_area(crop, th, tw)).clip(0, 255).astype(img.dtype),
                 "scaled_bbox": [x1 * sf, y1 * sf, x2 * sf, y2 * sf],
                 "scale_factor": sf,
             }
@@ -118,7 +194,7 @@ def normalize_batch(
     for i, img in enumerate(images):
         if img.ndim == 2:
             img = img[..., None]
-        r = resize_nearest(img, S, S).astype(np.float32) / 255.0
+        r = resize_bilinear(img, S, S).astype(np.float32) / 255.0
         if r.shape[2] == 1 and len(mean) == 3:
             r = np.repeat(r, 3, axis=2)
         r = (r - mean_a) / std_a
@@ -149,7 +225,7 @@ def preprocess_layout_batch(
             rh, rw = max(1, int(round(h * s))), max(1, int(round(w * s)))
         else:
             rh, rw = out_h, out_w
-        r = resize_nearest(img, rh, rw).astype(np.float32)
+        r = resize_bilinear(img, rh, rw).astype(np.float32)
         if do_rescale:
             r = r * rescale_factor
         if mean is not None and std is not None:

@@ -488,3 +488,58 @@ def test_kmeans_fitted_centroids_beat_seeds_on_ivf_recall(spark):
            for r in SIM.ivf_topk(emb, qids, k=5, n_probe=2,
                                  centroids=cents).collect()}
     assert len(fit & truth) > len(seed & truth)
+
+
+def test_bilinear_resize_parity_with_reference_formula():
+    """verify_parity.py-style gate (max-abs <= 1e-3): resize_bilinear vs
+    an INDEPENDENT scalar-loop implementation of torchvision's
+    BILINEAR/antialias=False/align_corners=False semantics."""
+    import numpy as np
+
+    from high_performance_docling_spark.kernels.image_ops import (
+        resize_area,
+        resize_bilinear,
+    )
+
+    def ref_bilinear(img, oh, ow):
+        ih, iw = img.shape[:2]
+        out = np.zeros((oh, ow), dtype=np.float64)
+        for i in range(oh):
+            y = min(max((i + 0.5) * ih / oh - 0.5, 0.0), ih - 1)
+            y0, fy = int(np.floor(y)), 0.0
+            fy = y - int(np.floor(y))
+            y1 = min(y0 + 1, ih - 1)
+            for j in range(ow):
+                x = min(max((j + 0.5) * iw / ow - 0.5, 0.0), iw - 1)
+                x0 = int(np.floor(x))
+                fx = x - x0
+                x1 = min(x0 + 1, iw - 1)
+                top = img[y0, x0] * (1 - fx) + img[y0, x1] * fx
+                bot = img[y1, x0] * (1 - fx) + img[y1, x1] * fx
+                out[i, j] = top * (1 - fy) + bot * fy
+        return out
+
+    rng = np.random.default_rng(7)
+    for (ih, iw), (oh, ow) in [((37, 53), (640, 640)), ((198, 153), (640, 640)),
+                               ((64, 64), (17, 29)), ((5, 5), (5, 5))]:
+        img = rng.integers(0, 256, size=(ih, iw)).astype(np.float64)
+        got = resize_bilinear(img, oh, ow)
+        want = ref_bilinear(img, oh, ow)
+        assert np.abs(got / 255.0 - want / 255.0).max() <= 1e-3  # rescaled gate
+        assert np.abs(got - want).max() <= 1e-9  # and exact in practice
+
+    # hand-computed case: [0, 255] 1x2 -> 1x4 with half-pixel sampling:
+    # x = {-0.25, 0.25, 0.75, 1.25} -> clamp -> {0, .25, .75, 1}
+    got = resize_bilinear(np.array([[0.0, 255.0]]), 1, 4)
+    assert np.allclose(got, [[0.0, 63.75, 191.25, 255.0]])
+
+    # area downscale 4->2 averages disjoint pairs exactly
+    got = resize_area(np.array([[0.0, 100.0, 200.0, 60.0]]), 1, 2)
+    assert np.allclose(got, [[50.0, 130.0]])
+    # fractional span: 3->2, pixel 0 = (a + 0.5*b)/1.5
+    got = resize_area(np.array([[30.0, 60.0, 90.0]]), 1, 2)
+    assert np.allclose(got, [[(30 + 0.5 * 60) / 1.5, (0.5 * 60 + 90) / 1.5]])
+    # row-stochastic: constant image stays constant under both filters
+    const = np.full((11, 13), 77.0)
+    assert np.allclose(resize_bilinear(const, 7, 19), 77.0)
+    assert np.allclose(resize_area(const, 7, 19), 77.0)
