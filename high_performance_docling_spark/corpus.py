@@ -81,6 +81,11 @@ class GenConfig:
     # (tests/test_reading_order.py golden fixtures exercise both).
     enable_merges: bool = False
     process_list_markers: bool = False
+    # Per-page ordering algorithm: "rb" = predictor-style precedence
+    # graph (default, the reference's reading_order_rb analogue),
+    # "xycut" = recursive XY-cut. The generator validates two-column
+    # layouts against BOTH so either mode round-trips exactly.
+    reading_order_mode: str = "rb"
 
 
 # --------------------------------------------------------------------------
@@ -239,9 +244,9 @@ def typeset(doc_id: str, spans: list[dict[str, Any]], cfg: GenConfig) -> list[Ty
 
     Flow: fill column(s) top to bottom; a table/picture's caption and
     footnote stay attached (gap ATTACH_GAP); a new column/page starts when
-    a block doesn't fit. Two-column pages are used only when the XY-cut
-    reading order of the result provably equals flow order (checked per
-    page; otherwise the page falls back to one column)."""
+    a block doesn't fit. Two-column pages are used only when BOTH reading-order
+    modes (rb precedence graph and XY-cut) provably recover flow order
+    (checked per page; otherwise the page falls back to one column)."""
     style = random.Random(f"{cfg.seed}:{doc_id}:style")
     pages: list[TypesetPage] = []
 
@@ -369,7 +374,11 @@ def typeset(doc_id: str, spans: list[dict[str, Any]], cfg: GenConfig) -> list[Ty
              "l": e.l, "t": e.t, "r": e.r, "b": e.b, "label": e.label}
             for n, e in enumerate(page.elements)
         ]
-        return predict_reading_order(els) == list(range(len(els)))
+        flow = list(range(len(els)))
+        return (
+            predict_reading_order(els, mode="rb") == flow
+            and predict_reading_order(els, mode="xycut") == flow
+        )
 
     bi = 0
     page_no = 0

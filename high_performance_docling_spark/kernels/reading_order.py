@@ -3,10 +3,21 @@
 The reference delegates reading order to docling-ibm-models'
 ``ReadingOrderPredictor`` (rule-based; consumed at
 /root/reference/readingorder_model.py:355-371) which is not available in
-this environment. This module implements the classic recursive XY-cut
-algorithm (Nagy & Seth, 1984 — the standard public rule-based
-reading-order method for column layouts) plus docling-style
-caption/footnote attachment, as a deterministic document-local kernel.
+this environment. This module implements TWO deterministic
+document-local orderings, flag-selected with ``mode``:
+
+  - ``"rb"`` (default): the predictor-style column/row PRECEDENCE GRAPH
+    following the documented design of the public ``reading_order_rb``
+    algorithm (own code, own predicates — see _rb_order): same-line
+    left→right chains, an up/down map built from "i is immediately above
+    j" relations with occlusion checks, head selection, and a
+    depth-first downward traversal gated on all predecessors being
+    visited. Unlike XY-cut this reads a column to its end even when
+    whitespace bands align across columns (the interleave failure mode
+    pinned in tests/test_reading_order.py).
+  - ``"xycut"``: the classic recursive XY-cut (Nagy & Seth, 1984),
+    retained for comparison and as the corpus generator's second
+    validity check.
 
 Inputs are page elements in TOP-LEFT-origin coordinates; the reference's
 bottom-left flip (readingorder_model.py:56) is unnecessary because we fix
@@ -18,6 +29,8 @@ from __future__ import annotations
 from typing import Any
 
 from ..labels import CAPTION, FOOTNOTE, PICTURE, TABLE, DOCUMENT_INDEX, CODE
+
+DEFAULT_READING_ORDER_MODE = "rb"
 
 # Elements that can own captions/footnotes (docling attaches captions to
 # tables, pictures and code blocks).
@@ -69,13 +82,139 @@ def _xy_cut(boxes: list[tuple[float, float, float, float]], ids: list[int]) -> l
     )
 
 
-def predict_reading_order(elements: list[dict[str, Any]]) -> list[int]:
+_RB_EPS = 1e-3        # strictly-above / strictly-left slack (pt)
+_L2R_Y_OVERLAP = 0.8  # min y-overlap fraction for a same-line chain
+# Only running text chains into same-line l2r segments (the
+# follows_maintext_order guard: a picture/table that merely happens to
+# sit beside the next element in cid order is NOT a wrapped line).
+_TEXT_CHAIN_LABELS = {"text", "list_item"}
+_L2R_MAX_GAP = 8.0    # max horizontal gap (pt) between same-line segments
+_L2R_TOP_ALIGN = 2.0  # max top-edge misalignment (pt) for a shared line
+
+
+def _rb_order(
+    boxes: list[tuple[float, float, float, float]],
+    ids: list[int],
+    labels: list[str] | None = None,
+) -> list[int]:
+    """Predictor-style precedence-graph page order (the public
+    ``reading_order_rb`` design consumed at readingorder_model.py:355-361,
+    re-expressed with our own predicates in top-left origin):
+
+      1. l2r chains — consecutive elements on the same text line (i
+         strictly left of i+1, y-overlap >= 0.8 of the shorter box) link
+         left→right, so a wrapped line reads as a unit;
+      2. up/dn precedence — i precedes j when i overlaps j horizontally
+         and sits strictly above it, UNLESS some w occludes the pair
+         (w strictly between them, overlapping j in x) — occlusion is
+         what confines precedence to immediate neighbors and keeps
+         columns independent;
+      3. heads — elements with no predecessor, read top-then-left;
+      4. depth-first DOWNWARD traversal from each head, entering a node
+         only once ALL its predecessors were emitted — a full-width
+         element below two columns therefore waits for both columns.
+
+    The public algorithm additionally dilates elements horizontally and
+    applies an is_horizontally_connected veto; both guard layouts rarer
+    than this corpus exercises and are documented as out of scope."""
+    n = len(ids)
+    if n <= 1:
+        return list(ids)
+    l = [b[0] for b in boxes]
+    t = [b[1] for b in boxes]
+    r = [b[2] for b in boxes]
+    btm = [b[3] for b in boxes]
+
+    def x_overlap(i: int, j: int) -> bool:
+        return min(r[i], r[j]) - max(l[i], l[j]) > _RB_EPS
+
+    def y_overlap_frac(i: int, j: int) -> float:
+        ov = min(btm[i], btm[j]) - max(t[i], t[j])
+        mh = min(btm[i] - t[i], btm[j] - t[j])
+        return ov / mh if mh > 0 else 0.0
+
+    def above(i: int, j: int) -> bool:
+        return btm[i] < t[j] + _RB_EPS
+
+    def left_of(i: int, j: int) -> bool:
+        return r[i] < l[j] + _RB_EPS
+
+    r2l: dict[int, int] = {}
+    up: dict[int, list[int]] = {i: [] for i in range(n)}
+    dn: dict[int, list[int]] = {i: [] for i in range(n)}
+    for i in range(n - 1):
+        j = i + 1  # follows_maintext_order: consecutive cids only
+        if labels is not None and not (
+            labels[i] in _TEXT_CHAIN_LABELS and labels[j] in _TEXT_CHAIN_LABELS
+        ):
+            continue
+        # Same-line segments share a baseline and sit a character apart;
+        # a column gutter (or any block-level gap) is far wider, so these
+        # bounds keep cross-column neighbors out of the chain.
+        if (
+            left_of(i, j)
+            and l[j] - r[i] <= _L2R_MAX_GAP
+            and abs(t[j] - t[i]) <= _L2R_TOP_ALIGN
+            and y_overlap_frac(i, j) >= _L2R_Y_OVERLAP
+        ):
+            r2l[j] = i
+    for j in range(n):
+        if j in r2l:  # a right line-segment follows only its left part
+            i = r2l[j]
+            up[j].append(i)
+            dn[i].append(j)
+            continue
+        for i in range(n):
+            if i == j or not (x_overlap(i, j) and above(i, j)):
+                continue
+            occluded = any(
+                w != i and w != j
+                and above(i, w) and above(w, j) and x_overlap(w, j)
+                for w in range(n)
+            )
+            if not occluded:
+                up[j].append(i)
+                dn[i].append(j)
+
+    key = lambda i: (t[i], l[i])  # noqa: E731
+    for i in range(n):
+        dn[i].sort(key=key)
+    visited: set[int] = set()
+    order: list[int] = []
+
+    def dfs(i: int) -> None:
+        for j in dn[i]:
+            if j not in visited and all(k in visited for k in up[j]):
+                visited.add(j)
+                order.append(j)
+                dfs(j)
+
+    for h in sorted((i for i in range(n) if not up[i]), key=key):
+        if h not in visited:
+            visited.add(h)
+            order.append(h)
+            dfs(h)
+    for i in sorted(range(n), key=key):  # acyclicity guard (never expected)
+        if i not in visited:
+            visited.add(i)
+            order.append(i)
+            dfs(i)
+    return [ids[i] for i in order]
+
+
+def predict_reading_order(
+    elements: list[dict[str, Any]], mode: str | None = None
+) -> list[int]:
     """Order elements into reading sequence.
 
     ``elements``: dicts with cid:int, page_no:int, l,t,r,b:float, label:str.
-    Returns the list of cids in reading order: pages ascending, XY-cut
-    within each page.
+    Returns the list of cids in reading order: pages ascending, then the
+    per-page order of ``mode`` ("rb" precedence graph by default,
+    "xycut" for the recursive-cut alternative).
     """
+    mode = mode or DEFAULT_READING_ORDER_MODE
+    if mode not in ("rb", "xycut"):
+        raise ValueError(f"unknown reading-order mode {mode!r}")
     by_page: dict[int, list[dict]] = {}
     for el in elements:
         by_page.setdefault(int(el["page_no"]), []).append(el)
@@ -84,7 +223,12 @@ def predict_reading_order(elements: list[dict[str, Any]]) -> list[int]:
         els = by_page[page_no]
         boxes = [(e["l"], e["t"], e["r"], e["b"]) for e in els]
         cids = [e["cid"] for e in els]
-        ordered.extend(_xy_cut(boxes, cids))
+        if mode == "rb":
+            ordered.extend(
+                _rb_order(boxes, cids, [e.get("label", "") for e in els])
+            )
+        else:
+            ordered.extend(_xy_cut(boxes, cids))
     return ordered
 
 
@@ -178,6 +322,7 @@ def assemble_spans(
     elements: list[dict[str, Any]],
     enable_merges: bool = False,
     process_list_markers: bool = False,
+    reading_order_mode: str | None = None,
 ) -> list[dict[str, Any]]:
     """Full document assembly: reading order + attachment → ordered spans.
 
@@ -194,7 +339,7 @@ def assemble_spans(
     corpus writes its list items pre-normalized.
     """
     by_cid = {el["cid"]: el for el in elements}
-    ordered = predict_reading_order(elements)
+    ordered = predict_reading_order(elements, mode=reading_order_mode)
     absorbed: set[int] = set()
     if process_list_markers:
         from .list_markers import process_list_markers as _plm

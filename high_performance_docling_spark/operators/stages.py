@@ -388,6 +388,9 @@ def doc_assemble_stage(elements_df, lineage_dir: str | None = None,
                 elements,
                 enable_merges=cfg.enable_merges if cfg else False,
                 process_list_markers=cfg.process_list_markers if cfg else False,
+                reading_order_mode=(
+                    getattr(cfg, "reading_order_mode", None) if cfg else None
+                ),
             ),
         }
 

@@ -47,6 +47,7 @@ def extract_doc_result(
             elements,
             enable_merges=cfg.enable_merges,
             process_list_markers=cfg.process_list_markers,
+            reading_order_mode=getattr(cfg, "reading_order_mode", None),
         )
     }
     if with_confidence:

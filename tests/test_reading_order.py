@@ -238,3 +238,98 @@ def test_merge_and_marker_flags_thread_through_pipeline(spark):
     staged = {r["doc_id"]: [tuple(s) for s in r["spans"]]
               for r in extract_spans(spark, docs, cfg, mode="staged").collect()}
     assert fused == staged and len(fused) == 8
+
+
+# ---------------------------------------------------------------------------
+# rb-vs-xycut divergence goldens (VERDICT r2 #3): layouts where the
+# precedence-graph order is right and recursive XY-cut interleaves
+# ---------------------------------------------------------------------------
+
+def test_rb_reads_columns_through_aligned_whitespace_band():
+    """Two columns whose paragraphs leave a page-wide horizontal
+    whitespace band WIDER than the column gutter. XY-cut takes the widest
+    gap first -> horizontal cut -> interleaves the columns (A B C D);
+    the rb precedence graph follows each column chain (A C B D)."""
+    els = [
+        el(0, 0, 50, 100, 290, 200, "text", "A"),    # left top
+        el(1, 0, 320, 100, 560, 200, "text", "B"),   # right top
+        el(2, 0, 50, 300, 290, 400, "text", "C"),    # left bottom
+        el(3, 0, 320, 300, 560, 400, "text", "D"),   # right bottom
+    ]
+    # the band between y=200 and y=300 (100pt) dwarfs the 30pt gutter
+    assert predict_reading_order(els, mode="xycut") == [0, 1, 2, 3]
+    assert predict_reading_order(els, mode="rb") == [0, 2, 1, 3]  # golden
+
+
+def test_rb_full_width_element_waits_for_both_columns():
+    """A full-width table below two columns is entered only after BOTH
+    columns are exhausted (its up-set spans the columns)."""
+    els = [
+        el(0, 0, 50, 100, 290, 300, "text", "L1"),
+        el(1, 0, 320, 100, 560, 250, "text", "R1"),
+        el(2, 0, 320, 270, 560, 420, "text", "R2"),
+        el(3, 0, 50, 320, 290, 430, "text", "L2"),
+        el(4, 0, 50, 460, 560, 560, "table", "T"),
+    ]
+    order = predict_reading_order(els, mode="rb")
+    assert order == [0, 3, 1, 2, 4]  # golden: left chain, right chain, table
+    assert order.index(4) == len(els) - 1
+
+
+def test_rb_footnote_above_figure_layout_golden():
+    """The VERDICT r2 divergence case: a multi-column page where a
+    footnote sits ABOVE its figure. Attachment pulls the footnote to the
+    picture (emitted after it), and the rb order keeps each column
+    intact; XY-cut interleaves the columns through the aligned band."""
+    els = [
+        el(0, 0, 50, 80, 560, 95, "section_header", "H"),
+        el(1, 0, 50, 120, 290, 240, "text", "left-para"),
+        el(2, 0, 320, 120, 560, 131, "footnote", "fn-above-fig"),
+        el(3, 0, 320, 138, 560, 240, "picture", "", "img:1"),
+        el(4, 0, 50, 330, 290, 430, "text", "left-tail"),
+        el(5, 0, 320, 330, 560, 430, "text", "right-tail"),
+    ]
+    spans = assemble_spans(els)  # rb default
+    golden = [
+        ("section_header", "H", ""),
+        ("text", "left-para", ""),
+        ("text", "left-tail", ""),
+        ("picture", "", "img:1"),
+        ("footnote", "fn-above-fig", ""),
+        ("text", "right-tail", ""),
+    ]
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in spans] == golden
+    # and xycut would have interleaved: left-para, fn, pic, left-tail, ...
+    xy = predict_reading_order(els, mode="xycut")
+    rb = predict_reading_order(els, mode="rb")
+    assert xy != rb
+    assert rb == [0, 1, 4, 2, 3, 5]
+
+
+def test_rb_same_line_segments_chain_left_to_right():
+    """Two consecutive TEXT segments of one wrapped line (tiny gap,
+    shared top) read left->right as a unit before the block below,
+    even though the block below starts higher than the right segment's
+    bottom edge would suggest under a naive (t, l) sort."""
+    els = [
+        el(0, 0, 50, 100, 200, 112, "text", "line-a"),
+        el(1, 0, 204, 100, 400, 112, "text", "line-b"),
+        el(2, 0, 50, 118, 400, 180, "text", "para"),
+    ]
+    assert predict_reading_order(els, mode="rb") == [0, 1, 2]
+
+
+def test_rb_mode_flag_threads_through_config(spark):
+    """GenConfig.reading_order_mode selects the per-page algorithm in the
+    full pipeline; both modes round-trip the validated corpus."""
+    from high_performance_docling_spark.corpus import GenConfig
+    from high_performance_docling_spark.oracle import extract_doc_spans
+    from high_performance_docling_spark.corpus import generate_doc
+
+    for mode in ("rb", "xycut"):
+        cfg = GenConfig(seed=21, n_docs=6, noise=False,
+                        reading_order_mode=mode)
+        for i in range(cfg.n_docs):
+            d = generate_doc(cfg, i)
+            out = extract_doc_spans(d["doc_id"], d["spans"], cfg)
+            assert [s["order"] for s in out] == [s["offset"] for s in d["spans"]]
