@@ -264,4 +264,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # A silent non-fixpoint would hand out WRONG component ids
+        # (long label-propagation chains); fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iterations or switch to large-star/small-star for "
+            "long-chain graphs"
+        )
     return labels

@@ -24,11 +24,13 @@ def binned_range_join(
     start_col: str,
     end_col: str,
     bucket_width: float,
-    how: str = "inner",
 ) -> DataFrame:
-    """Join every point row to every interval row with
+    """INNER-join every point row to every interval row with
     start <= ts < end (half-open). Returns points columns + interval
-    columns. ``how`` = "inner" keeps matched points only."""
+    columns. (No ``how`` parameter by design — the containment predicate
+    is applied as a post-join filter, which would silently collapse any
+    outer join back to inner semantics; an outer variant needs the
+    predicate inside the join condition plus interval-bucket dedup.)"""
     p = points.withColumn(
         "__bucket", F.floor(F.col(point_ts) / bucket_width).cast("long")
     )
@@ -42,7 +44,7 @@ def binned_range_join(
             F.floor(F.col(end_col) / bucket_width).cast("long"),
         ),
     ).withColumn("__bucket", F.explode("__buckets")).drop("__buckets")
-    joined = p.join(iv, "__bucket", how).filter(
+    joined = p.join(iv, "__bucket").filter(
         (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
     )
     # no dedup needed: a point owns exactly ONE bucket, so each

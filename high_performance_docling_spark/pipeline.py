@@ -143,6 +143,15 @@ def extract_spans(
     # Partition count comes from (in order): the caller's hint, the file
     # split count, and only as a last resort the RDD-conversion probe
     # (df.rdd builds a conversion plan per call — avoid it when possible).
+    if with_confidence and (mode != "fused" or checkpoint_dir is not None):
+        # the staged path's elements boundary drops cluster confidences;
+        # silently returning output WITHOUT the confidence column would
+        # be a contract violation (ADVICE r2)
+        raise ValueError(
+            "with_confidence=True requires mode='fused' without a "
+            "checkpoint_dir (the staged elements boundary drops cluster "
+            "confidences)"
+        )
     target = spark.sparkContext.defaultParallelism
     n_parts = input_partitions
     if n_parts is None:

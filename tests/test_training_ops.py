@@ -543,3 +543,36 @@ def test_bilinear_resize_parity_with_reference_formula():
     const = np.full((11, 13), 77.0)
     assert np.allclose(resize_bilinear(const, 7, 19), 77.0)
     assert np.allclose(resize_area(const, 7, 19), 77.0)
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest as _pytest
+
+    # a 6-hop path graph cannot reach the min-label fixpoint in 1 round
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["x", "y"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(pairs, max_iterations=1)
+    # and converges fine with headroom
+    labels = {r["node"]: r["comp"]
+              for r in DD.connected_components(pairs).collect()}
+    assert set(labels.values()) == {0}
+
+
+def test_with_confidence_rejected_on_staged_or_checkpointed_path(spark, tmp_path):
+    import pytest as _pytest
+
+    from high_performance_docling_spark.corpus import GenConfig
+    from high_performance_docling_spark.pipeline import (
+        docs_dataframe,
+        extract_spans,
+    )
+
+    cfg = GenConfig(seed=1, n_docs=2)
+    docs = docs_dataframe(spark, cfg, num_partitions=1)
+    with _pytest.raises(ValueError, match="with_confidence"):
+        extract_spans(spark, docs, cfg, mode="staged", with_confidence=True)
+    with _pytest.raises(ValueError, match="with_confidence"):
+        extract_spans(spark, docs, cfg, checkpoint_dir=str(tmp_path / "c"),
+                      with_confidence=True)
