@@ -4,7 +4,24 @@ Demonstrates the applyInPandasWithState pattern (the Spark surface for
 operators that need explicit keyed state — SURVEY.md §2.9 / task brief
 "custom stateful operators"): per user_id, events accumulate into an
 open session; a gap > timeout closes it and EMITS the finished session.
-The processing-time timeout flushes idle sessions.
+
+Two flush strategies (``timeout``):
+  - "none": sessions close only when a later event of the SAME user
+    arrives past the gap — an idle user's last session never emits.
+  - "event_time" (VERDICT r2 #8): watermark-driven eviction via
+    GroupStateTimeout.EventTimeTimeout — after folding a batch the state
+    schedules a timeout at (last_event + gap); when the GLOBAL watermark
+    (driven by all users' events) passes it, Spark re-invokes the
+    function with state.hasTimedOut and the idle session flushes. This
+    is the production shape: bounded state, no key ever pins memory
+    forever. (Processing-time timeouts are deliberately avoided: an
+    idle-flush PT timeout keeps processAllAvailable's trigger loop busy
+    forever in tests — see memory note — and ties semantics to wall
+    clock instead of data.)
+
+The watermark delay is 0 seconds, so stream results match the batch
+reference exactly; a production job tolerating late data would set a
+positive delay and accept late-event sessions merging server-side.
 """
 
 from __future__ import annotations
@@ -35,59 +52,90 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _sessionize(key, pdfs, state: GroupState):
-    """Fold this micro-batch's events into the open session; emit every
-    session a gap closes. (No processing-time timeout: an idle-flush
-    timeout keeps the trigger loop busy forever under
-    processAllAvailable; a production job would add an event-time
-    watermark flush instead.)"""
-    (user_id,) = key
-    rows = []
-    events: list[tuple[float, float]] = []
-    for pdf in pdfs:
-        events.extend(zip(pdf["epoch"].astype(float), pdf["value"].astype(float)))
-    events.sort()
+def _make_sessionize(event_time_timeout: bool):
+    def _sessionize(key, pdfs, state: GroupState):
+        """Fold this micro-batch's events into the open session; emit
+        every session a gap closes; with the event-time timeout, also
+        emit the open session when the watermark passes last + gap."""
+        (user_id,) = key
+        rows = []
+        if event_time_timeout and state.hasTimedOut:
+            if state.exists:
+                start, last, n, total = state.get
+                rows.append((user_id, start, last, n, round(total, 2)))
+                state.remove()
+            yield pd.DataFrame(
+                rows, columns=["user_id", "session_start", "session_end",
+                               "n_events", "total_value"],
+            )
+            return
+        events: list[tuple[float, float]] = []
+        for pdf in pdfs:
+            events.extend(
+                zip(pdf["epoch"].astype(float), pdf["value"].astype(float))
+            )
+        events.sort()
 
-    start, last, n, total = state.get if state.exists else (None, None, 0, 0.0)
-    for ts, value in events:
-        if start is None:
-            start, last, n, total = ts, ts, 1, value
-        elif ts - last > SESSION_GAP_SECONDS:
-            rows.append((user_id, start, last, n, round(total, 2)))
-            start, last, n, total = ts, ts, 1, value
-        else:
-            # a late event from an earlier micro-batch must not move the
-            # session boundaries backwards
-            start, last = min(start, ts), max(last, ts)
-            n, total = n + 1, total + value
-    if start is not None:
-        state.update((start, last, n, total))
-    yield pd.DataFrame(
-        rows, columns=["user_id", "session_start", "session_end",
-                       "n_events", "total_value"],
-    )
+        start, last, n, total = state.get if state.exists else (None, None, 0, 0.0)
+        for ts, value in events:
+            if start is None:
+                start, last, n, total = ts, ts, 1, value
+            elif ts - last > SESSION_GAP_SECONDS:
+                rows.append((user_id, start, last, n, round(total, 2)))
+                start, last, n, total = ts, ts, 1, value
+            else:
+                # a late event from an earlier micro-batch must not move
+                # the session boundaries backwards
+                start, last = min(start, ts), max(last, ts)
+                n, total = n + 1, total + value
+        if start is not None:
+            state.update((start, last, n, total))
+            if event_time_timeout:
+                # evict when the watermark passes the session gap; the
+                # frontier event that set `last` also drives the
+                # watermark, so this timestamp is always in its future
+                state.setTimeoutTimestamp(
+                    int((last + SESSION_GAP_SECONDS) * 1000)
+                )
+        yield pd.DataFrame(
+            rows, columns=["user_id", "session_start", "session_end",
+                           "n_events", "total_value"],
+        )
+
+    return _sessionize
 
 
-def stream_sessionize(spark, source_dir: str) -> DataFrame:
-    """readStream(parquet events) → stateful per-user sessionization."""
+def stream_sessionize(
+    spark, source_dir: str, timeout: str = "none"
+) -> DataFrame:
+    """readStream(parquet events) → stateful per-user sessionization.
+    ``timeout``: "none" or "event_time" (watermark-driven idle flush)."""
     from .windows import EVENTS_SCHEMA
 
+    if timeout not in ("none", "event_time"):
+        raise ValueError(f"unknown timeout mode {timeout!r}")
     events = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", "4")
         .parquet(source_dir)
         .select(
             "user_id",
+            F.col("ts").cast("timestamp").alias("ts_ts"),
             F.col("ts").cast("timestamp").cast("double").alias("epoch"),
             "value",
         )
     )
+    if timeout == "event_time":
+        events = events.withWatermark("ts_ts", "0 seconds")
+        mode = GroupStateTimeout.EventTimeTimeout
+    else:
+        mode = GroupStateTimeout.NoTimeout
     return events.groupBy("user_id").applyInPandasWithState(
-        _sessionize,
+        _make_sessionize(timeout == "event_time"),
         OUTPUT_SCHEMA,
         STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        mode,
     )
 
 
