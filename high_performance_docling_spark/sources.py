@@ -97,3 +97,33 @@ def fetch_documents(manifest_df: DataFrame, fetcher=None, real_http: bool = Fals
             )
 
     return manifest_df.mapInPandas(fn, FETCH_SCHEMA)
+
+
+def extract_fetched_pdfs(fetched_df: DataFrame) -> DataFrame:
+    """Distributed PDF-bytes → ordered-spans stage: the S1 contract on
+    REAL (non-synthetic) input. Consumes fetch_documents output
+    (doc_id, payload) and runs kernels.pdf_parse.extract_pdf_spans —
+    parse, block grouping, sanitize, and the SAME rule-based reading
+    order as the synthetic pipeline — inside one mapInPandas pass
+    (narrow, no shuffle; one task per manifest partition at scale).
+    Rows whose payload is not parseable PDF are dropped with their
+    doc_id recorded in the `error` of a companion row (kind='error')."""
+    from .schemas import SPANS_OUT_SCHEMA
+
+    def fn(batches):
+        import pandas as pd
+
+        from .kernels.pdf_parse import extract_pdf_spans
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    spans = extract_pdf_spans(bytes(payload))
+                except ValueError as e:
+                    spans = [{"kind": "error", "text": str(e),
+                              "media_ref": "", "order": 0}]
+                rows.append({"doc_id": doc_id, "spans": spans})
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return fetched_df.mapInPandas(fn, SPANS_OUT_SCHEMA)

@@ -1,0 +1,138 @@
+"""Real-PDF smoke seam (VERDICT r2 #9): a tiny vendored PDF — built
+byte-for-byte in _build_pdf, classic xref, one Flate-compressed page —
+parsed by the pure-Python reader and driven end-to-end to ordered spans,
+serially and through the fetch_documents → extract_fetched_pdfs Spark
+stage."""
+
+import zlib
+
+from high_performance_docling_spark.kernels.pdf_parse import (
+    extract_pdf_spans,
+    parse_pdf_pages,
+    pdf_to_elements,
+)
+
+
+def _pdf_object(num: int, body: bytes) -> bytes:
+    return b"%d 0 obj%s\nendobj\n" % (num, body)
+
+
+def _stream_obj(num: int, content: bytes, flate: bool = False) -> bytes:
+    extra = b""
+    if flate:
+        content = zlib.compress(content)
+        extra = b"/Filter /FlateDecode "
+    head = b"<< %s/Length %d >>\nstream\n" % (extra, len(content))
+    return _pdf_object(num, head + content + b"\nendstream")
+
+
+PAGE1_CONTENT = b"""BT /F1 24 Tf 72 720 Td (Engine Report) Tj ET
+BT /F1 12 Tf 14 TL 72 660 Td (left column first paragraph) Tj T* (wraps to a second line) Tj ET
+BT /F1 12 Tf 14 TL 72 560 Td (left column lower block) Tj ET
+BT /F1 12 Tf 14 TL 320 660 Td (right column starts here) Tj T* (and continues \\(escaped\\)) Tj ET
+BT /F1 12 Tf 14 TL 320 560 Td (right column lower block) Tj ET"""
+
+PAGE2_CONTENT = b"""BT /F1 12 Tf 72 700 Td [(Hello ) (compressed )(page two)] TJ ET"""
+
+
+def _build_pdf() -> bytes:
+    objs = [
+        _pdf_object(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        _pdf_object(2, b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>"),
+        _pdf_object(
+            3,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 7 0 R >> >> >>",
+        ),
+        _stream_obj(4, PAGE1_CONTENT),
+        _pdf_object(
+            5,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 6 0 R /Resources << /Font << /F1 7 0 R >> >> >>",
+        ),
+        _stream_obj(6, PAGE2_CONTENT, flate=True),
+        _pdf_object(
+            7, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        ),
+    ]
+    out = b"%PDF-1.4\n"
+    offsets = []
+    for o in objs:
+        offsets.append(len(out))
+        out += o
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_pos)
+    )
+    return out
+
+
+def test_pdf_parser_extracts_positioned_cells():
+    pages = parse_pdf_pages(_build_pdf())
+    assert len(pages) == 2
+    p1 = pages[0]
+    assert (p1["width"], p1["height"]) == (612.0, 792.0)
+    texts = [c["text"] for c in p1["cells"]]
+    assert "Engine Report" in texts
+    assert "and continues (escaped)" in texts  # escape handling
+    hdr = next(c for c in p1["cells"] if c["text"] == "Engine Report")
+    assert hdr["font_size"] == 24.0
+    assert abs(hdr["t"] - (792 - 720 - 24)) < 1e-6  # top-left flip
+    # Flate page decodes and TJ concatenates
+    assert [c["text"] for c in pages[1]["cells"]] == ["Hello compressed page two"]
+
+
+def test_pdf_elements_block_grouping_and_labels():
+    els = pdf_to_elements(_build_pdf())
+    by_text = {e["text"].split("\n")[0]: e for e in els}
+    assert by_text["Engine Report"]["label"] == "section_header"
+    left = by_text["left column first paragraph"]
+    assert left["label"] == "text"
+    assert left["text"].endswith("wraps to a second line")  # T* line joined
+
+
+def test_pdf_bytes_to_ordered_spans_end_to_end():
+    """Header first, LEFT column to its end, then the right column, then
+    page 2 — the rule-based reading order on real PDF geometry."""
+    spans = extract_pdf_spans(_build_pdf())
+    got = [(s["kind"], s["text"], s["order"]) for s in spans]
+    assert got == [
+        ("section_header", "Engine Report", 0),
+        ("text", "left column first paragraph wraps to a second line", 1),
+        ("text", "left column lower block", 2),
+        ("text", "right column starts here and continues (escaped)", 3),
+        ("text", "right column lower block", 4),
+        ("text", "Hello compressed page two", 5),
+    ]
+
+
+def test_pdf_seam_through_spark_fetch_stage(spark):
+    """fetch_documents (deterministic fetcher returning the vendored PDF)
+    → extract_fetched_pdfs: the distributed S1 contract on real bytes."""
+    from high_performance_docling_spark.sources import (
+        extract_fetched_pdfs,
+        fetch_documents,
+    )
+
+    pdf = _build_pdf()
+    manifest = spark.createDataFrame(
+        [("d1", "https://example.com/a.pdf"), ("d2", "https://example.com/b.pdf"),
+         ("bad", "https://example.com/broken.bin")],
+        ["doc_id", "url"],
+    )
+    fetched = fetch_documents(
+        manifest,
+        fetcher=lambda url: b"not a pdf" if "broken" in url else pdf,
+    )
+    out = {r["doc_id"]: r["spans"] for r in extract_fetched_pdfs(fetched).collect()}
+    assert len(out) == 3
+    for doc_id in ("d1", "d2"):
+        spans = [(s["kind"], s["text"], s["order"]) for s in out[doc_id]]
+        assert spans[0] == ("section_header", "Engine Report", 0)
+        assert len(spans) == 6
+    assert out["bad"][0]["kind"] == "error"  # unparseable rows surfaced
