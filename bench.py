@@ -3,7 +3,7 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
+   "queries": {name: sec, ...}, "samples": {leg: [sec, ...]}, "sf": ...,
    "docs_per_sec_N": ..., "docs_per_sec_4N": ..., "scaling_efficiency": ...}
 
 Scaling evidence (north rule: efficiency >= 0.8 from N to 4N executors):
@@ -16,9 +16,16 @@ Python workers DRAM bandwidth — not cores — becomes the limit, which a
 real 4N-node cluster (4× the memory channels) would not hit. Headline
 throughput is still reported at the full local[32].
 
+Measurement protocol (VERDICT r2 #2 — no condition-triggered
+re-sampling): every leg runs ONCE as a pinned child that warms its
+Python workers, then takes the SAME fixed number of timed samples
+(BENCH_SAMPLES, default 5); the statistic is the per-leg MEDIAN and all
+samples are persisted in the output JSON so the spread is auditable.
+Nothing about the sampling depends on the gate outcome.
+
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), BENCH_DOCS (default 25600),
-BENCH_SKIP_SCALING=1 to skip the scaling-pair reruns.
+SPARK_GRAFT_CPUS (default 32), BENCH_DOCS (default 38400),
+BENCH_SAMPLES (default 5), BENCH_SKIP_SCALING=1 to skip the scaling pair.
 """
 
 from __future__ import annotations
@@ -26,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import time
@@ -36,6 +44,7 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("BENCH_DOCS", "38400"))
+K_SAMPLES = int(os.environ.get("BENCH_SAMPLES", "5"))
 CACHE = os.path.join(REPO, ".bench_cache")
 
 BENCH_QUERIES = [
@@ -85,38 +94,37 @@ def _extract(spark, docs_df) -> None:
     ).save()
 
 
-def child_extract(cores: int) -> None:
-    """Subprocess mode: timed extraction at a given core count. Prints one
-    float (seconds) on the last line."""
+def child_extract(cores: int, k: int) -> None:
+    """Subprocess mode: warm, then take exactly ``k`` timed extraction
+    samples at the given core count. Prints every sample on one line —
+    the parent computes the median; NO adaptive stopping here."""
     spark = _session(cores, f"bench-extract-{cores}")
     docs = spark.read.parquet(_corpus_path())
     # warm python workers on EVERY partition (limit() would collapse to one
     # partition and leave the other workers to cold-start inside the timed
-    # run) + codegen; then best-of-2 to shrug off transient host noise
+    # run) + codegen
     _extract(spark, docs.sample(False, 0.12, seed=7))
-    # best-of-k at every level: min converges to the steady-state floor on
-    # both sides of the efficiency ratio, shrugging off host noise
-    best = float("inf")
-    # short high-core runs are noise-prone: min-of-several finds the quiet-
-    # host floor; the long low-core run gets two shots for the same reason
-    repeats = 5 if cores >= 16 else 2
-    for _ in range(repeats):
+    samples = []
+    for _ in range(k):
         t0 = time.monotonic()
         _extract(spark, docs)
-        best = min(best, time.monotonic() - t0)
-    print(f"EXTRACT_SECONDS {best:.3f}")
+        samples.append(time.monotonic() - t0)
+    print("EXTRACT_SAMPLES " + " ".join(f"{s:.3f}" for s in samples))
     spark.stop()
 
 
-def _run_pinned(cores: int) -> float:
-    cmd = [sys.executable, os.path.abspath(__file__), "--extract-child", str(cores)]
+def _run_pinned(cores: int, k: int) -> list[float]:
+    cmd = [
+        sys.executable, os.path.abspath(__file__),
+        "--extract-child", str(cores), str(k),
+    ]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     env = dict(os.environ)
     out = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
     for line in reversed(out.stdout.splitlines()):
-        if line.startswith("EXTRACT_SECONDS"):
-            return float(line.split()[1])
+        if line.startswith("EXTRACT_SAMPLES"):
+            return [float(x) for x in line.split()[1:]]
     raise RuntimeError(f"child failed: {out.stdout[-2000:]} {out.stderr[-2000:]}")
 
 
@@ -124,6 +132,7 @@ def main() -> None:
     import __spark_entry__ as E
 
     results: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
 
     # 1. materialize the corpus in a short-lived session, then let the JVM
     #    and its python daemons exit before any timed run
@@ -132,46 +141,32 @@ def main() -> None:
     spark.stop()
     time.sleep(3)
 
-    # 2. extraction throughput, each child a clean pinned process:
-    #    headline at full width, then the N→4N pair (CPUS/8 → CPUS/2)
-    t_full = _run_pinned(CPUS)
+    # 2. extraction throughput, each leg ONE clean pinned child taking the
+    #    same fixed sample count; statistic = median (samples persisted)
+    full_samples = _run_pinned(CPUS, max(3, K_SAMPLES - 2))
+    samples["extract_spans_e2e"] = [round(s, 3) for s in full_samples]
+    t_full = statistics.median(full_samples)
     results["extract_spans_e2e"] = round(t_full, 3)
     docs_s_full = N_DOCS / t_full
 
     docs_s_n = docs_s_4n = None
     efficiency = None
+    big = max(2, CPUS // 2)
+    small = max(1, CPUS // 8)
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
-        big = max(2, CPUS // 2)
-        small = max(1, CPUS // 8)
         time.sleep(3)
-        t_4n = _run_pinned(big)
+        big_samples = _run_pinned(big, K_SAMPLES)
         time.sleep(3)
-        t_n = _run_pinned(small)
-        # Floor-finding: the code is deterministic, so the true scaling
-        # ratio is a property of the floors, not of any single sample —
-        # observed run-to-run spread on the short 4N leg is >10% even with
-        # in-child best-of-k (host noise). When the ratio lands near the
-        # 0.8 line, re-sample the 4N child (fresh pinned process) and keep
-        # the min; one extra sample resolves borderline noise without
-        # touching the long stable N leg.
-        for _ in range(2):
-            if (N_DOCS / t_4n) / (N_DOCS / t_n) / 4.0 >= 0.85:
-                break
-            time.sleep(3)
-            t_4n = min(t_4n, _run_pinned(big))
-        # symmetric guard: a ratio ABOVE 1.0 means the long N leg caught
-        # host noise (scaling of deterministic code can't be superlinear
-        # on one box) — re-sample the N child and keep its floor
-        for _ in range(2):
-            if (N_DOCS / t_4n) / (N_DOCS / t_n) / 4.0 <= 1.02:
-                break
-            time.sleep(3)
-            t_n = min(t_n, _run_pinned(small))
+        small_samples = _run_pinned(small, K_SAMPLES)
+        samples[f"extract_spans_e2e_{big}cores"] = [round(s, 3) for s in big_samples]
+        samples[f"extract_spans_e2e_{small}cores"] = [round(s, 3) for s in small_samples]
+        t_4n = statistics.median(big_samples)
+        t_n = statistics.median(small_samples)
         results[f"extract_spans_e2e_{big}cores"] = round(t_4n, 3)
         results[f"extract_spans_e2e_{small}cores"] = round(t_n, 3)
         docs_s_4n = N_DOCS / t_4n
         docs_s_n = N_DOCS / t_n
-        efficiency = (docs_s_4n / docs_s_n) / 4.0
+        efficiency = (docs_s_4n / docs_s_n) / (big / small)
 
     # 3. headline query suite (own session; first run warms codegen)
     time.sleep(3)
@@ -186,23 +181,33 @@ def main() -> None:
 
     # noise-free reference point: serial kernel cost per document (no
     # Spark, single thread) — the number host contention cannot touch;
-    # full-width throughput ≈ 1000/kernel_ms * effective_cores when quiet
+    # full-width throughput ≈ 1000/kernel_ms * effective_cores when quiet.
+    # The loop is WARMED first (interpreter/alloc caches) and the stat is
+    # the median of 3 full passes — r2's 6.5 ms artifact was one cold pass.
     from high_performance_docling_spark.corpus import GenConfig, generate_corpus
     from high_performance_docling_spark.oracle import extract_doc_spans
 
     kcfg = GenConfig(seed=42, n_docs=100)
     kdocs = generate_corpus(kcfg)
-    t0 = time.monotonic()
-    for d in kdocs:
+    for d in kdocs[:25]:  # warm-up, untimed
         extract_doc_spans(d["doc_id"], d["spans"], kcfg)
-    kernel_ms = (time.monotonic() - t0) / len(kdocs) * 1000.0
+    kernel_passes = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        for d in kdocs:
+            extract_doc_spans(d["doc_id"], d["spans"], kcfg)
+        kernel_passes.append((time.monotonic() - t0) / len(kdocs) * 1000.0)
+    kernel_ms = statistics.median(kernel_passes)
 
     out = {
         "metric": "headline suite + e2e span extraction wall time",
         "kernel_ms_per_doc_serial": round(kernel_ms, 3),
+        "kernel_ms_samples": [round(v, 3) for v in kernel_passes],
         "value": round(sum(results.values()), 3),
         "unit": "sec",
         "queries": results,
+        "samples": samples,
+        "stat": f"median of fixed k (k={K_SAMPLES}; no adaptive re-sampling)",
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "bench_docs": N_DOCS,
         "docs_per_sec_full_width": round(docs_s_full, 2),
@@ -210,14 +215,14 @@ def main() -> None:
         "docs_per_sec_N": round(docs_s_n, 2) if docs_s_n else None,
         "scaling_efficiency_N_to_4N": round(efficiency, 3) if efficiency else None,
         "cores_full": CPUS,
-        "cores_4N": max(2, CPUS // 2),
-        "cores_N": max(1, CPUS // 8),
+        "cores_4N": big,
+        "cores_N": small,
     }
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--extract-child":
-        child_extract(int(sys.argv[2]))
+        child_extract(int(sys.argv[2]), int(sys.argv[3]) if len(sys.argv) > 3 else 3)
     else:
         main()

@@ -164,15 +164,22 @@ def _rb_order(
             up[j].append(i)
             dn[i].append(j)
             continue
-        for i in range(n):
-            if i == j or not (x_overlap(i, j) and above(i, j)):
-                continue
-            occluded = any(
-                w != i and w != j
-                and above(i, w) and above(w, j) and x_overlap(w, j)
-                for w in range(n)
-            )
-            if not occluded:
+        # candidates above j; i is occluded iff some OTHER candidate w
+        # sits strictly below i (above(i, w) ⟺ btm[i] < t[w] + eps), so
+        # the check reduces to the max candidate top excluding i —
+        # O(|C|) per j instead of the naive O(n) per (i, j) pair
+        cand = [i for i in range(n) if i != j and x_overlap(i, j) and above(i, j)]
+        if not cand:
+            continue
+        tops = sorted(((t[w], w) for w in cand), reverse=True)
+        for i in cand:
+            if tops[0][1] != i:
+                tmax = tops[0][0]
+            elif len(tops) > 1:
+                tmax = tops[1][0]
+            else:
+                tmax = None
+            if tmax is None or btm[i] >= tmax + _RB_EPS:
                 up[j].append(i)
                 dn[i].append(j)
 

@@ -72,3 +72,91 @@ def test_bbox_merge_is_commutative_union(b1, b2):
     # round-trip stability
     rt = xyxy_to_cxcywh(cxcywh_to_xyxy(m12))
     assert all(math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9) for a, b in zip(rt, m12))
+
+
+def test_rb_order_occlusion_reduction_equals_naive_definition():
+    """The O(|C|) max-top occlusion shortcut in _rb_order must equal the
+    quantified definition (exists w: above(i,w) & above(w,j) &
+    x_overlap(w,j)) on random layouts."""
+    import random
+
+    import high_performance_docling_spark.kernels.reading_order as RO
+
+    def rb_naive(boxes, ids, labels):
+        n = len(ids)
+        l = [b[0] for b in boxes]; t = [b[1] for b in boxes]
+        r = [b[2] for b in boxes]; btm = [b[3] for b in boxes]
+        eps = RO._RB_EPS
+
+        def xov(i, j):
+            return min(r[i], r[j]) - max(l[i], l[j]) > eps
+
+        def yfrac(i, j):
+            ov = min(btm[i], btm[j]) - max(t[i], t[j])
+            mh = min(btm[i] - t[i], btm[j] - t[j])
+            return ov / mh if mh > 0 else 0.0
+
+        def ab(i, j):
+            return btm[i] < t[j] + eps
+
+        r2l = {}
+        for i in range(n - 1):
+            j = i + 1
+            if not (labels[i] in RO._TEXT_CHAIN_LABELS
+                    and labels[j] in RO._TEXT_CHAIN_LABELS):
+                continue
+            if (r[i] < l[j] + eps and l[j] - r[i] <= RO._L2R_MAX_GAP
+                    and abs(t[j] - t[i]) <= RO._L2R_TOP_ALIGN
+                    and yfrac(i, j) >= RO._L2R_Y_OVERLAP):
+                r2l[j] = i
+        up = {i: [] for i in range(n)}
+        dn = {i: [] for i in range(n)}
+        for j in range(n):
+            if j in r2l:
+                up[j].append(r2l[j])
+                dn[r2l[j]].append(j)
+                continue
+            for i in range(n):
+                if i == j or not (xov(i, j) and ab(i, j)):
+                    continue
+                occ = any(w != i and w != j and ab(i, w) and ab(w, j)
+                          and xov(w, j) for w in range(n))
+                if not occ:
+                    up[j].append(i)
+                    dn[i].append(j)
+        key = lambda i: (t[i], l[i])  # noqa: E731
+        for i in range(n):
+            dn[i].sort(key=key)
+        vis, order = set(), []
+
+        def dfs(i):
+            for j in dn[i]:
+                if j not in vis and all(k in vis for k in up[j]):
+                    vis.add(j)
+                    order.append(j)
+                    dfs(j)
+
+        for h in sorted((i for i in range(n) if not up[i]), key=key):
+            if h not in vis:
+                vis.add(h)
+                order.append(h)
+                dfs(h)
+        for i in sorted(range(n), key=key):
+            if i not in vis:
+                vis.add(i)
+                order.append(i)
+                dfs(i)
+        return [ids[i] for i in order]
+
+    rng = random.Random(3)
+    labsets = ["text", "list_item", "table", "picture", "caption"]
+    for _ in range(150):
+        n = rng.randint(1, 16)
+        boxes, labels = [], []
+        for _ in range(n):
+            l0, t0 = rng.uniform(0, 500), rng.uniform(0, 700)
+            boxes.append((l0, t0, l0 + rng.uniform(5, 120),
+                          t0 + rng.uniform(5, 80)))
+            labels.append(rng.choice(labsets))
+        ids = list(range(n))
+        assert RO._rb_order(boxes, ids, labels) == rb_naive(boxes, ids, labels)
