@@ -1863,6 +1863,90 @@ FROM f ORDER BY doc_id
 """
 
 
+def q_extract_html_spans(spark, sf_dir):
+    """HTML main-content extraction (the north rule's 'HTML boilerplate
+    strip / DOM heuristics' mode): each document's text is typeset
+    JVM-side into a boilerplate-laden page (nav, cookie banner, related
+    aside, footer — all link-heavy) with an <h1> title and 25-word <p>
+    paragraphs; kernels/html_extract.html_to_spans must strip every
+    boilerplate block and return exactly title + paragraphs in order.
+    The DuckDB oracle computes the same expected rows INDEPENDENTLY from
+    the raw text (title + 25-word chunks) — the brute-force-style oracle
+    pattern: a different route to the same answer."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
+        F.size(toks)
+    )
+    n_paras = F.ceil(n / 25).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_paras - 1),
+        lambda i: F.concat(
+            F.lit("<p>"),
+            F.concat_ws(" ", F.slice(toks, i * 25 + 1, 25)),
+            F.lit("</p>"),
+        ),
+    )
+    html = F.concat(
+        F.lit(
+            "<html><head><title>Site</title><style>p{margin:0}</style></head>"
+            "<body><nav><a href='/'>Home</a> <a href='/a'>About</a></nav>"
+            "<div class='cookie'>We use cookies <a href='#'>OK</a></div>"
+            "<header><div class='menu'><a>One</a> <a>Two</a></div></header>"
+            "<article><h1>Document "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1>"),
+        F.concat_ws("", paras),
+        F.lit(
+            "</article><aside class='related'>More <a href='#'>x</a></aside>"
+            "<footer>(c) 2024 <a href='#'>terms</a></footer></body></html>"
+        ),
+    )
+    src = docs.filter(n > 0).select(F.col("doc_id"), html.alias("html"))
+
+    def fn(batches):
+        import pandas as pd
+
+        from .kernels.html_extract import html_to_spans
+
+        for pdf in batches:
+            rows = []
+            for doc_id, page in zip(pdf["doc_id"], pdf["html"]):
+                for s in html_to_spans(page):
+                    rows.append(
+                        {"doc_id": doc_id, "ord": s["order"],
+                         "kind": s["kind"], "text": s["text"]}
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "ord", "kind", "text"])
+
+    out = src.mapInPandas(fn, "doc_id long, ord int, kind string, text string")
+    return out.orderBy("doc_id", "ord")
+
+
+ORACLE_EXTRACT_HTML_SPANS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+  FROM documents
+),
+d AS (SELECT * FROM t WHERE n > 0)
+SELECT doc_id, 0 AS ord, 'section_header' AS kind,
+       'Document ' || doc_id AS text
+FROM d
+UNION ALL
+SELECT doc_id, cid + 1 AS ord, 'text' AS kind,
+       array_to_string(toks[cid*25+1 : cid*25+25], ' ') AS text
+FROM (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, ceil(n / 25.0)::INT - 1)) AS cid
+  FROM d
+)
+ORDER BY doc_id, ord
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1907,6 +1991,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "confidence_report": q_confidence_report,
     "export_markdown": q_export_markdown,
     "detect_format": q_detect_format,
+    "extract_html_spans": q_extract_html_spans,
     "embedding_ivf_ann": q_embedding_ivf_ann,
     "events_asof_join": q_events_asof_join,
     "skew_salted_agg": q_skew_salted_agg,
@@ -1955,6 +2040,7 @@ ORACLES: dict[str, str] = {
     "windowed_events": ORACLE_WINDOWED_EVENTS,
     "confidence_report": ORACLE_CONFIDENCE_REPORT,
     "detect_format": ORACLE_DETECT_FORMAT,
+    "extract_html_spans": ORACLE_EXTRACT_HTML_SPANS,
     "embedding_ivf_ann": ORACLE_EMBEDDING_IVF_ANN,
     "events_asof_join": ORACLE_EVENTS_ASOF_JOIN,
     "skew_salted_agg": ORACLE_SKEW_SALTED_AGG,

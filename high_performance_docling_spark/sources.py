@@ -99,6 +99,46 @@ def fetch_documents(manifest_df: DataFrame, fetcher=None, real_http: bool = Fals
     return manifest_df.mapInPandas(fn, FETCH_SCHEMA)
 
 
+def extract_fetched_documents(fetched_df: DataFrame) -> DataFrame:
+    """Format-sniffing extraction stage over fetch_documents output:
+    %PDF payloads go through the pure-Python PDF parser, HTML payloads
+    through the boilerplate-strip extractor — both to the SAME ordered
+    span contract, in one narrow mapInPandas pass (the Spark shape of
+    the reference's format registry dispatch, main.py InputFormat)."""
+    from .schemas import SPANS_OUT_SCHEMA
+
+    def fn(batches):
+        import pandas as pd
+
+        from .kernels.html_extract import html_to_spans
+        from .kernels.pdf_parse import extract_pdf_spans
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                try:
+                    if data.startswith(b"%PDF"):
+                        spans = extract_pdf_spans(data)
+                    else:
+                        spans = [
+                            {"kind": s["kind"], "text": s["text"],
+                             "media_ref": s["media_ref"], "order": s["order"]}
+                            for s in html_to_spans(
+                                data.decode("utf-8", errors="replace")
+                            )
+                        ]
+                        if not spans:
+                            raise ValueError("no extractable content")
+                except ValueError as e:
+                    spans = [{"kind": "error", "text": str(e),
+                              "media_ref": "", "order": 0}]
+                rows.append({"doc_id": doc_id, "spans": spans})
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return fetched_df.mapInPandas(fn, SPANS_OUT_SCHEMA)
+
+
 def extract_fetched_pdfs(fetched_df: DataFrame) -> DataFrame:
     """Distributed PDF-bytes → ordered-spans stage: the S1 contract on
     REAL (non-synthetic) input. Consumes fetch_documents output

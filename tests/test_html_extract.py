@@ -1,0 +1,92 @@
+"""HTML main-content extraction: boilerplate strip, DOM heuristics,
+block→span mapping, and the format-sniffing Spark stage."""
+
+from high_performance_docling_spark.kernels.html_extract import html_to_spans
+
+MESSY = """<!DOCTYPE html><html><head><title>Site - Page</title>
+<style>p{color:red}</style><script>track()</script></head>
+<body>
+<nav><a href="/">Home</a> | <a href="/about">About</a></nav>
+<div id="cookie-banner">We use cookies. <a href="#">Accept</a></div>
+<header><div class="menu"><a>One</a><a>Two</a></div></header>
+<article>
+  <h1>The Real Title</h1>
+  <p>First paragraph of actual readable content with enough words.</p>
+  <p>See <a href="x">this link</a> inside a real paragraph that stays.</p>
+  <ul><li>alpha item</li><li>beta <br/>item</li></ul>
+  <pre>x = compute(y)</pre>
+  <figure><img src="img/fig1.png"/><figcaption>A figure caption</figcaption></figure>
+  <table><tr><td>a</td><td>b</td></tr><tr><td>c</td><td>d</td></tr></table>
+  <p><a href="1">Prev</a> <a href="2">Next</a></p>
+</article>
+<aside class="related">You may also like <a href="#">this</a></aside>
+<footer>Copyright 2024 <a href="#">terms</a></footer>
+</body></html>"""
+
+
+def test_boilerplate_stripped_and_blocks_mapped_in_order():
+    got = [(s["order"], s["kind"], s["text"], s["media_ref"])
+           for s in html_to_spans(MESSY)]
+    assert got == [
+        (0, "section_header", "The Real Title", ""),
+        (1, "text", "First paragraph of actual readable content with enough words.", ""),
+        (2, "text", "See this link inside a real paragraph that stays.", ""),
+        (3, "list_item", "alpha item", ""),
+        (4, "list_item", "beta item", ""),
+        (5, "code", "x = compute(y)", ""),
+        (6, "picture", "", "img/fig1.png"),
+        (7, "caption", "A figure caption", ""),
+        (8, "table", "a\tb\nc\td", ""),
+    ]
+    texts = " ".join(t for _, _, t, _ in got)
+    # every boilerplate species is gone: script/style, nav, cookie banner,
+    # menu header, link-only pager, related aside, footer
+    for junk in ("track()", "Home", "cookies", "One", "Prev",
+                 "also like", "Copyright"):
+        assert junk not in texts
+
+
+def test_link_density_rule_keeps_linky_but_texty_blocks():
+    html = ("<body><p>lots of surrounding prose here with "
+            "<a href='#'>a modest link</a> making under half the mass "
+            "of this block</p>"
+            "<p><a href='#'>all</a> <a href='#'>links</a></p></body>")
+    spans = html_to_spans(html)
+    assert len(spans) == 1 and spans[0]["text"].startswith("lots of")
+
+
+def test_malformed_html_blocks_still_drain():
+    spans = html_to_spans("<body><p>unclosed paragraph content here")
+    assert [s["text"] for s in spans] == ["unclosed paragraph content here"]
+
+
+def test_format_sniffing_stage_routes_pdf_and_html(spark):
+    from high_performance_docling_spark.sources import (
+        extract_fetched_documents,
+        fetch_documents,
+    )
+    from tests.test_pdf_seam import _build_pdf
+
+    pdf = _build_pdf()
+
+    def fetcher(url):
+        if url.endswith(".pdf"):
+            return pdf
+        if url.endswith(".html"):
+            return MESSY.encode()
+        return b"\x00\x01 garbage"
+
+    manifest = spark.createDataFrame(
+        [("p", "https://x/a.pdf"), ("h", "https://x/b.html"),
+         ("g", "https://x/c.bin")],
+        ["doc_id", "url"],
+    )
+    out = {
+        r["doc_id"]: [(s["kind"], s["text"], s["order"]) for s in r["spans"]]
+        for r in extract_fetched_documents(
+            fetch_documents(manifest, fetcher=fetcher)
+        ).collect()
+    }
+    assert out["p"][0] == ("section_header", "Engine Report", 0)
+    assert out["h"][0] == ("section_header", "The Real Title", 0)
+    assert out["g"][0][0] == "error"
