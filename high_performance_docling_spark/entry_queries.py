@@ -773,14 +773,10 @@ ORDER BY x, y
 )
 
 
-def q_dedup_components(spark, sf_dir):
-    """Duplicate-cluster formation: connected components over the SimHash
-    near-dup pair graph (iterative min-label propagation with a flat
-    lineage; the oracle walks the same graph with a RECURSIVE CTE —
-    an independent implementation of the transitive closure)."""
+def _components_query(spark, sf_dir, cc_fn):
     docs = _t(spark, sf_dir, "documents")
     pairs = DD.simhash_band_pairs(DD.simhash(docs, bits=16))
-    comps = DD.connected_components(pairs)
+    comps = cc_fn(pairs)
     sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
     return (
         comps.join(sizes, "comp")
@@ -788,6 +784,23 @@ def q_dedup_components(spark, sf_dir):
                 "n_members")
         .orderBy("doc_id")
     )
+
+
+def q_dedup_components(spark, sf_dir):
+    """Duplicate-cluster formation: connected components over the SimHash
+    near-dup pair graph (iterative min-label propagation with a flat
+    lineage; the oracle walks the same graph with a RECURSIVE CTE —
+    an independent implementation of the transitive closure)."""
+    return _components_query(spark, sf_dir, DD.connected_components)
+
+
+def q_dedup_components_star(spark, sf_dir):
+    """Same duplicate clusters via alternating large-star/small-star
+    (Kiveris et al., SoCC'14) — the web-scale long-chain path: O(log n)
+    alternations instead of diameter-many label rounds. Oracled against
+    the identical RECURSIVE-CTE transitive closure; a 300-hop-path test
+    shows it converging where label propagation cannot."""
+    return _components_query(spark, sf_dir, DD.connected_components_star)
 
 
 ORACLE_DEDUP_COMPONENTS = (
@@ -1996,6 +2009,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_join": q_events_asof_join,
     "skew_salted_agg": q_skew_salted_agg,
     "dedup_components": q_dedup_components,
+    "dedup_components_star": q_dedup_components_star,
     "events_range_join": q_events_range_join,
     "events_time_rollup": q_events_time_rollup,
     "kmv_distinct_sketch": q_kmv_distinct_sketch,
@@ -2045,6 +2059,7 @@ ORACLES: dict[str, str] = {
     "events_asof_join": ORACLE_EVENTS_ASOF_JOIN,
     "skew_salted_agg": ORACLE_SKEW_SALTED_AGG,
     "dedup_components": ORACLE_DEDUP_COMPONENTS,
+    "dedup_components_star": ORACLE_DEDUP_COMPONENTS,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "events_time_rollup": ORACLE_EVENTS_TIME_ROLLUP,
     "kmv_distinct_sketch": ORACLE_KMV_DISTINCT,

@@ -576,3 +576,29 @@ def test_with_confidence_rejected_on_staged_or_checkpointed_path(spark, tmp_path
     with _pytest.raises(ValueError, match="with_confidence"):
         extract_spans(spark, docs, cfg, checkpoint_dir=str(tmp_path / "c"),
                       with_confidence=True)
+
+
+def test_star_cc_equals_label_propagation_on_pair_graph(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fp = DD.simhash(docs, bits=16)
+    pairs = DD.simhash_band_pairs(fp, bits=16, bands=4, max_hamming=3)
+    a = {(r["node"], r["comp"])
+         for r in DD.connected_components(pairs).collect()}
+    b = {(r["node"], r["comp"])
+         for r in DD.connected_components_star(pairs).collect()}
+    assert a == b and len(a) > 100
+
+
+def test_star_cc_converges_on_long_chain_where_propagation_cannot(spark):
+    """A 300-hop path needs 299 min-label rounds (connected_components
+    raises at its 25-round budget) but O(log n) star alternations."""
+    import pytest as _pytest
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], ["x", "y"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(path)
+    labels = {r["node"]: r["comp"]
+              for r in DD.connected_components_star(path, max_iterations=15).collect()}
+    assert set(labels.values()) == {0} and len(labels) == 301
