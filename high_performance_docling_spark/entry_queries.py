@@ -1960,6 +1960,104 @@ ORDER BY doc_id, ord
 """
 
 
+def q_scrub_pii(spark, sf_dir):
+    """PII redaction (pretraining corpus hygiene): plant a deterministic
+    email / IPv4 / phone-style digit run per document JVM-side, then
+    scrub with the shared Java∩RE2 regex chain; the oracle replays the
+    same plant + regexp_replace(…, 'g') in DuckDB. Pure projection —
+    zero shuffle at any scale."""
+    from .operators.cleaning import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), sid, F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".5 tel 415-555-0"), F.lpad((F.col("doc_id") % 100).cast("string"), 3, "0"),
+        ).alias("text"),
+    )
+    return (
+        scrub_pii(planted)
+        .select("doc_id", F.col("clean_text"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SCRUB_PII = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com via 10.0.'
+              || (doc_id % 256) || '.5 tel 415-555-0'
+              || lpad((doc_id % 100)::VARCHAR, 3, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+         '\b\d[\d().-]{7,}\d\b', '<PHONE>', 'g') AS clean_text
+FROM planted ORDER BY doc_id
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination (the public GPT-3/FLAN recipe: a
+    document sharing ANY 13-gram with the eval set is dropped). The
+    'benchmark' is the 20-token prefix of every 50th document, so
+    contamination exists by construction. Scale shape: the benchmark
+    shingle set is tiny → broadcast hash join against the corpus shingle
+    explode; the corpus side never shuffles."""
+    from .operators.cleaning import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ltoks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id", F.concat_ws(" ", F.slice(ltoks, 1, 20)).alias("text")
+    )
+    return decontaminate(docs, bench, n=13).orderBy("doc_id")
+
+
+ORACLE_DECONTAMINATE = r"""
+WITH toks_t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+dsh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 13
+                  THEN list_transform(range(1, len(toks) - 11),
+                         i -> array_to_string(toks[i:i+12], ' '))
+                  ELSE [array_to_string(toks, ' ')] END) AS sh
+    FROM toks_t)
+),
+bt AS (
+  SELECT doc_id, toks[1:20] AS toks FROM toks_t WHERE doc_id % 50 = 0
+),
+bsh AS (
+  SELECT DISTINCT sh FROM (
+    SELECT unnest(CASE WHEN len(toks) >= 13
+                  THEN list_transform(range(1, len(toks) - 11),
+                         i -> array_to_string(toks[i:i+12], ' '))
+                  ELSE [array_to_string(toks, ' ')] END) AS sh
+    FROM bt)
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM dsh JOIN bsh USING (sh)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM toks_t t LEFT JOIN hits h USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2005,6 +2103,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "export_markdown": q_export_markdown,
     "detect_format": q_detect_format,
     "extract_html_spans": q_extract_html_spans,
+    "scrub_pii": q_scrub_pii,
+    "decontaminate": q_decontaminate,
     "embedding_ivf_ann": q_embedding_ivf_ann,
     "events_asof_join": q_events_asof_join,
     "skew_salted_agg": q_skew_salted_agg,
@@ -2055,6 +2155,8 @@ ORACLES: dict[str, str] = {
     "confidence_report": ORACLE_CONFIDENCE_REPORT,
     "detect_format": ORACLE_DETECT_FORMAT,
     "extract_html_spans": ORACLE_EXTRACT_HTML_SPANS,
+    "scrub_pii": ORACLE_SCRUB_PII,
+    "decontaminate": ORACLE_DECONTAMINATE,
     "embedding_ivf_ann": ORACLE_EMBEDDING_IVF_ANN,
     "events_asof_join": ORACLE_EVENTS_ASOF_JOIN,
     "skew_salted_agg": ORACLE_SKEW_SALTED_AGG,

@@ -602,3 +602,36 @@ def test_star_cc_converges_on_long_chain_where_propagation_cannot(spark):
     labels = {r["node"]: r["comp"]
               for r in DD.connected_components_star(path, max_iterations=15).collect()}
     assert set(labels.values()) == {0} and len(labels) == 301
+
+
+def test_scrub_pii_patterns(spark):
+    from high_performance_docling_spark.operators.cleaning import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@sub.example.org and ip 192.168.1.200 now"),
+         (2, "tel 415-555-0142 ok but version 1.2.3 and year 2024 stay"),
+         (3, "no pii here at all")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["clean_text"] for r in scrub_pii(df).collect()}
+    assert got[1] == "mail <EMAIL> and ip <IP> now"
+    assert got[2] == "tel <PHONE> ok but version 1.2.3 and year 2024 stay"
+    assert got[3] == "no pii here at all"
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    from high_performance_docling_spark.operators.cleaning import decontaminate
+
+    words = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, words),                                  # shares a 13-gram
+         (2, " ".join(f"x{i}" for i in range(30)))],  # disjoint vocab
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(99, " ".join(f"w{i}" for i in range(5, 25)))], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in decontaminate(docs, bench, n=13).collect()}
+    assert got[1][0] == 8 and got[1][1] is True   # 20-token window: 8 13-grams
+    assert got[2] == (0, False)
