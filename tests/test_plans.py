@@ -92,3 +92,18 @@ def test_salted_agg_two_phase_shape(spark):
     # phase 1 shuffles on (key, salt), phase 2 on key
     assert "__salt" in p
     assert p.count("Exchange hashpartitioning") == 2
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    # the eval-set shingles are tiny at any scale — the corpus shingle
+    # explode must hash-join against a BROADCAST side, never shuffle
+    # or sort-merge the corpus
+    p = plan(spark, "decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_scrub_pii_is_pure_jvm_projection(spark):
+    p = plan(spark, "scrub_pii")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange hashpartitioning" not in p  # zero shuffle
