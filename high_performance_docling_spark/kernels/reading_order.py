@@ -167,8 +167,18 @@ def _rb_order(
         # candidates above j; i is occluded iff some OTHER candidate w
         # sits strictly below i (above(i, w) ⟺ btm[i] < t[w] + eps), so
         # the check reduces to the max candidate top excluding i —
-        # O(|C|) per j instead of the naive O(n) per (i, j) pair
-        cand = [i for i in range(n) if i != j and x_overlap(i, j) and above(i, j)]
+        # O(|C|) per j instead of the naive O(n) per (i, j) pair.
+        # Predicates inlined: this scan is the kernel's hottest loop and
+        # the closure-call overhead measured ~10% of serial ms/doc.
+        lj, tj, rj = l[j], t[j], r[j]
+        thr = tj + _RB_EPS
+        cand = [
+            i for i in range(n)
+            if i != j
+            and btm[i] < thr
+            and (r[i] if r[i] < rj else rj) - (l[i] if l[i] > lj else lj)
+                > _RB_EPS
+        ]
         if not cand:
             continue
         tops = sorted(((t[w], w) for w in cand), reverse=True)
