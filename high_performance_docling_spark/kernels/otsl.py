@@ -237,3 +237,88 @@ def normalize_bboxes(
         [(x1 - tl) / w, (y1 - tt) / h, (x2 - tl) / w, (y2 - tt) / h]
         for x1, y1, x2, y2 in page_bboxes
     ]
+
+
+# --------------------------------------------------------------------------
+# html_seq variant of the bbox/tag sync (tf_predictor.py:237-279)
+# --------------------------------------------------------------------------
+
+def otsl_to_html_seq(otsl_seq: list[str]) -> list[str]:
+    """OTSL tag sequence → HTML token sequence in the docling token
+    convention the reference's sync code consumes (tf_predictor.py
+    :242-273): a plain cell is the single token '<td>'; a SPANNED cell
+    opens with '<td', its span attribute tokens, then a bare '>' (the
+    token _check_bbox_sync counts and _remove_bbox_span_desync keys on);
+    rows wrap in '<tr>'/'</tr>'. Non-origin continuation tags (lcel /
+    ucel / xcel interiors) emit nothing — they are covered grid area."""
+    spans = otsl_spans(otsl_seq)
+    out: list[str] = ["<tr>"]
+    cell_id = 0
+    covered = _covered_positions(otsl_seq)
+    pos = 0
+    for tag in otsl_seq:
+        if tag == "nl":
+            out.append("</tr>")
+            out.append("<tr>")
+            continue
+        if tag in EMITTING_TAGS:
+            if pos in covered:
+                pass  # continuation area of a span: no html cell
+            elif cell_id in spans:
+                colspan, rowspan = spans[cell_id]
+                out.append("<td")
+                if rowspan > 1:
+                    out.append(f' rowspan="{rowspan}"')
+                if colspan > 1:
+                    out.append(f' colspan="{colspan}"')
+                out.append(">")
+            else:
+                out.append("<td>")
+            cell_id += 1
+        pos += 1
+    if out and out[-1] == "<tr>":
+        out.pop()
+    elif out:
+        out.append("</tr>")
+    return out
+
+
+def _covered_positions(otsl_seq: list[str]) -> set[int]:
+    """Emitting-tag ordinals that are span CONTINUATIONS (xcel interiors)
+    rather than origins — they consume a cell_id but render no <td>."""
+    covered: set[int] = set()
+    cell_id = -1
+    idx = -1
+    for tag in otsl_seq:
+        if tag == "nl":
+            idx += 0
+            continue
+        idx += 1
+        if tag in EMITTING_TAGS:
+            cell_id += 1
+            if tag == "xcel":
+                covered.add(idx)
+    return covered
+
+
+def check_bbox_sync_html(
+    html_seq: list[str], bboxes: list[list[float]]
+) -> tuple[bool, list[list[float]]]:
+    """The reference's html_seq-based sync (tf_predictor.py:255-279):
+    count '<td>' and bare '>' tokens as cells; on mismatch run the
+    span-desync repair (:237-253) — walk the sequence keeping a running
+    cell counter, and for every '>' (a spanned cell's close token) mark
+    the FOLLOWING bbox index for deletion, exactly reproducing
+    _remove_bbox_span_desync's delete-after-span indexes."""
+    count_td = sum(1 for e in html_seq if e in ("<td>", ">"))
+    if len(bboxes) == count_td:
+        return True, list(bboxes)
+    idx = 0
+    to_delete: set[int] = set()
+    for e in html_seq:
+        if e == "<td>":
+            idx += 1
+        if e == ">":
+            idx += 1
+            to_delete.add(idx)
+    return False, [b for i, b in enumerate(bboxes) if i not in to_delete]

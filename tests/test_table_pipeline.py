@@ -318,3 +318,40 @@ def test_normalize_translate_roundtrip():
     back = translate_bboxes(table, norm)
     for a, b in zip(back, page_boxes):
         assert all(abs(x - y) < 1e-9 for x, y in zip(a, b))
+
+
+def test_otsl_to_html_seq_tokens():
+    from high_performance_docling_spark.kernels.otsl import otsl_to_html_seq
+
+    # row 1: 2-col span + plain; row 2: three plain cells
+    seq = ["fcel", "lcel", "fcel", "nl", "fcel", "fcel", "fcel", "nl"]
+    assert otsl_to_html_seq(seq) == [
+        "<tr>", "<td", ' colspan="2"', ">", "<td>", "</tr>",
+        "<tr>", "<td>", "<td>", "<td>", "</tr>",
+    ]
+    # 2x2 block span: ucel/lcel/xcel render NO cell tokens
+    seq2 = ["fcel", "lcel", "fcel", "nl", "ucel", "xcel", "fcel", "nl"]
+    html2 = otsl_to_html_seq(seq2)
+    assert html2 == [
+        "<tr>", "<td", ' rowspan="2"', ' colspan="2"', ">", "<td>", "</tr>",
+        "<tr>", "<td>", "</tr>",
+    ]
+
+
+def test_check_bbox_sync_html_desync_repair():
+    from high_performance_docling_spark.kernels.otsl import (
+        check_bbox_sync_html,
+        otsl_to_html_seq,
+    )
+
+    seq = ["fcel", "lcel", "fcel", "nl", "fcel", "fcel", "fcel", "nl"]
+    html = otsl_to_html_seq(seq)
+    # in-sync: 5 cells (1 spanned via '>', 4 plain '<td>')
+    ok, out = check_bbox_sync_html(html, [[i, 0, 0, 0] for i in range(5)])
+    assert ok and len(out) == 5
+    # over-emission: the decoder emitted one extra bbox after the span —
+    # the repair must delete exactly the bbox FOLLOWING the '>' token
+    # (index 1), per tf_predictor.py:237-253 semantics
+    ok, out = check_bbox_sync_html(html, [[i, 0, 0, 0] for i in range(6)])
+    assert not ok
+    assert [b[0] for b in out] == [0, 2, 3, 4, 5]
