@@ -198,12 +198,15 @@ def detect_stage(parsed_df, cfg: GenConfig, lineage_dir: str | None = None,
 # S2+S3+S6: layout postprocess + page assembly — pages → page elements
 # --------------------------------------------------------------------------
 
-def layout_stage(pages_df, cfg: GenConfig, lineage_dir: str | None = None):
+def layout_stage(pages_df, cfg: GenConfig, lineage_dir: str | None = None,
+                 with_confidence: bool = False):
     """One row per page in, one row per page out: layout post-processing
     (layout_postprocessor.py port), table-structure decoding batched
     ACROSS the pages of each Arrow batch (mirrors the reference's ≤128
     cross-page table batches, tablemodel04_rs.py:186-202), then page
-    assembly (page_assemble_model.py port). Narrow — no shuffle."""
+    assembly (page_assemble_model.py port). Narrow — no shuffle.
+    ``with_confidence`` adds the per-page PageConfidenceScores struct
+    (see convert_stage) — it rides the elements checkpoint too."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t0 = time.monotonic()
         n = 0
@@ -226,6 +229,7 @@ def layout_stage(pages_df, cfg: GenConfig, lineage_dir: str | None = None):
                 )
             page_clusters = process_parsed_batch(rows, cfg)
             out_elements = []
+            out_conf = []
             for row, clusters in zip(rows, page_clusters):
                 doc_id, page_no = row["doc_id"], row["page_no"]
                 els = assemble_page_elements(doc_id, page_no, clusters)
@@ -241,25 +245,41 @@ def layout_stage(pages_df, cfg: GenConfig, lineage_dir: str | None = None):
                         for e in els
                     ]
                 )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "page_no": pdf["page_no"],
-                    "elements": out_elements,
-                }
-            )
+                if with_confidence:
+                    from ..kernels.confidence import page_confidence
+
+                    out_conf.append(page_confidence(page_no, clusters))
+            data = {
+                "doc_id": pdf["doc_id"],
+                "page_no": pdf["page_no"],
+                "elements": out_elements,
+            }
+            if with_confidence:
+                data["page_confidence"] = out_conf
+            yield pd.DataFrame(data)
         _write_lineage(lineage_dir, "layout", n, n, t0)
 
-    return pages_df.mapInPandas(fn, ELEMENTS_SCHEMA)
+    from ..schemas import ELEMENTS_CONF_SCHEMA
+
+    return pages_df.mapInPandas(
+        fn, ELEMENTS_CONF_SCHEMA if with_confidence else ELEMENTS_SCHEMA
+    )
 
 
 # --------------------------------------------------------------------------
 # fused S1+S2+S3+S6: docs → page elements in ONE Python stage
 # --------------------------------------------------------------------------
 
-def convert_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None):
+def convert_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None,
+                  with_confidence: bool = False):
     """Parse + layout + tables + page assembly fused into a single
     mapInPandas stage (docs in, page-element rows out).
+
+    ``with_confidence`` computes PageConfidenceScores HERE — the page
+    grain, where the post-processed clusters still exist — and ships one
+    struct per page row (a partial aggregation); doc assembly folds them
+    into the ConfidenceReport. This is how the staged path carries
+    confidence without re-deriving clusters after the shuffle.
 
     Why fused: chaining two mapInPandas transforms runs TWO Python workers
     per task slot (the JVM pipes batches through both), which at local[C]
@@ -284,27 +304,37 @@ def convert_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None):
             for (doc_id, page), clusters in zip(items, page_clusters):
                 els = assemble_page_elements(doc_id, page.page_no, clusters)
                 page_no = page.page_no
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "page_no": page_no,
-                        "elements": [
-                            {
-                                "label": e["label"],
-                                "l": e["l"], "t": e["t"], "r": e["r"], "b": e["b"],
-                                "text": e["text"],
-                                "media_ref": e["media_ref"],
-                                "children": e["children"],
-                            }
-                            for e in els
-                        ],
-                    }
-                )
+                row = {
+                    "doc_id": doc_id,
+                    "page_no": page_no,
+                    "elements": [
+                        {
+                            "label": e["label"],
+                            "l": e["l"], "t": e["t"], "r": e["r"], "b": e["b"],
+                            "text": e["text"],
+                            "media_ref": e["media_ref"],
+                            "children": e["children"],
+                        }
+                        for e in els
+                    ],
+                }
+                if with_confidence:
+                    from ..kernels.confidence import page_confidence
+
+                    row["page_confidence"] = page_confidence(page_no, clusters)
+                rows.append(row)
             n_out += len(rows)
-            yield pd.DataFrame(rows, columns=["doc_id", "page_no", "elements"])
+            cols = ["doc_id", "page_no", "elements"] + (
+                ["page_confidence"] if with_confidence else []
+            )
+            yield pd.DataFrame(rows, columns=cols)
         _write_lineage(lineage_dir, "convert", n_in, n_out, t0)
 
-    return docs_df.mapInPandas(fn, ELEMENTS_SCHEMA)
+    from ..schemas import ELEMENTS_CONF_SCHEMA
+
+    return docs_df.mapInPandas(
+        fn, ELEMENTS_CONF_SCHEMA if with_confidence else ELEMENTS_SCHEMA
+    )
 
 
 # --------------------------------------------------------------------------
@@ -358,7 +388,8 @@ def doc_fused_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None,
 
 def doc_assemble_stage(elements_df, lineage_dir: str | None = None,
                        num_partitions: int | None = None,
-                       cfg: GenConfig | None = None):
+                       cfg: GenConfig | None = None,
+                       with_confidence: bool = False):
     """Per-document assembly: co-locate each doc's pages via
     repartition(doc_id), then group INSIDE the partition and run reading
     order + caption/footnote attachment, emitting the ordered span array.
@@ -371,10 +402,14 @@ def doc_assemble_stage(elements_df, lineage_dir: str | None = None,
     sort makes the result independent of shuffle order (SURVEY.md §7).
     This is the pipeline's single shuffle.
     """
-    def assemble_doc(doc_id: str, pages: list[tuple[int, Any]]) -> dict[str, Any]:
+    out_cols = ["doc_id", "spans"] + (["confidence"] if with_confidence else [])
+
+    def assemble_doc(
+        doc_id: str, pages: list[tuple[int, Any, Any]]
+    ) -> dict[str, Any]:
         pages.sort(key=lambda x: x[0])
         elements: list[dict[str, Any]] = []
-        for page_no, els in pages:
+        for page_no, els, _pc in pages:
             for e in els:
                 el = dict(e)
                 el["page_no"] = int(page_no)
@@ -382,7 +417,7 @@ def doc_assemble_stage(elements_df, lineage_dir: str | None = None,
                 el["children"] = [] if children is None else [dict(c) for c in children]
                 el["cid"] = len(elements)
                 elements.append(el)
-        return {
+        out = {
             "doc_id": doc_id,
             "spans": assemble_spans(
                 elements,
@@ -393,15 +428,27 @@ def doc_assemble_stage(elements_df, lineage_dir: str | None = None,
                 ),
             ),
         }
+        if with_confidence:
+            from ..kernels.confidence import doc_confidence
+
+            out["confidence"] = doc_confidence(
+                [dict(pc) for _, _, pc in pages if pc is not None]
+            )
+        return out
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t0 = time.monotonic()
-        by_doc: dict[str, list[tuple[int, Any]]] = {}
+        by_doc: dict[str, list[tuple[int, Any, Any]]] = {}
         for pdf in batches:
-            for doc_id, page_no, els in zip(
-                pdf["doc_id"], pdf["page_no"], pdf["elements"]
+            confs = (
+                pdf["page_confidence"]
+                if with_confidence and "page_confidence" in pdf.columns
+                else [None] * len(pdf)
+            )
+            for doc_id, page_no, els, pc in zip(
+                pdf["doc_id"], pdf["page_no"], pdf["elements"], confs
             ):
-                by_doc.setdefault(doc_id, []).append((int(page_no), els))
+                by_doc.setdefault(doc_id, []).append((int(page_no), els, pc))
         # grouping requires buffering the partition's input, but the OUTPUT
         # streams in bounded chunks (popping inputs as we go) so peak
         # memory doesn't double with partition size
@@ -410,10 +457,14 @@ def doc_assemble_stage(elements_df, lineage_dir: str | None = None,
         for doc_id in list(by_doc):
             chunk.append(assemble_doc(doc_id, by_doc.pop(doc_id)))
             if len(chunk) >= 256:
-                yield pd.DataFrame(chunk, columns=["doc_id", "spans"])
+                yield pd.DataFrame(chunk, columns=out_cols)
                 chunk = []
         _write_lineage(lineage_dir, "assemble", n_docs, n_docs, t0)
-        yield pd.DataFrame(chunk, columns=["doc_id", "spans"])
+        yield pd.DataFrame(chunk, columns=out_cols)
+
+    from ..schemas import SPANS_CONF_SCHEMA
 
     n = num_partitions or elements_df.sparkSession.sparkContext.defaultParallelism * 2
-    return elements_df.repartition(n, "doc_id").mapInPandas(fn, SPANS_OUT_SCHEMA)
+    return elements_df.repartition(n, "doc_id").mapInPandas(
+        fn, SPANS_CONF_SCHEMA if with_confidence else SPANS_OUT_SCHEMA
+    )

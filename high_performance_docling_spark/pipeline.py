@@ -143,15 +143,6 @@ def extract_spans(
     # Partition count comes from (in order): the caller's hint, the file
     # split count, and only as a last resort the RDD-conversion probe
     # (df.rdd builds a conversion plan per call — avoid it when possible).
-    if with_confidence and (mode != "fused" or checkpoint_dir is not None):
-        # the staged path's elements boundary drops cluster confidences;
-        # silently returning output WITHOUT the confidence column would
-        # be a contract violation (ADVICE r2)
-        raise ValueError(
-            "with_confidence=True requires mode='fused' without a "
-            "checkpoint_dir (the staged elements boundary drops cluster "
-            "confidences)"
-        )
     target = spark.sparkContext.defaultParallelism
     n_parts = input_partitions
     if n_parts is None:
@@ -165,8 +156,7 @@ def extract_spans(
     if checkpoint_dir is None and mode == "fused":
         # with_confidence adds the per-doc ConfidenceReport struct
         # (base_models.py:379-459) computed from the same post-processed
-        # clusters as the spans (fused path only — the staged path's
-        # elements boundary drops cluster confidences)
+        # clusters as the spans
         return doc_fused_stage(docs_df, cfg, lineage_dir,
                                with_confidence=with_confidence)
 
@@ -174,8 +164,12 @@ def extract_spans(
         # staged lazy path: ONE Python stage docs→elements (see
         # convert_stage docstring for why chaining two Python stages
         # oversubscribes the executors), then the single shuffle.
-        elements = convert_stage(docs_df, cfg, lineage_dir)
-        return doc_assemble_stage(elements, lineage_dir, cfg=cfg)
+        # with_confidence rides as a per-page struct computed at the
+        # page grain (partial aggregation) and folded after the shuffle.
+        elements = convert_stage(docs_df, cfg, lineage_dir,
+                                 with_confidence=with_confidence)
+        return doc_assemble_stage(elements, lineage_dir, cfg=cfg,
+                                  with_confidence=with_confidence)
 
     # Checkpointed staged path: parse → detect (model stage) → layout,
     # each materialized to parquet so no two Python stages chain in one
@@ -202,8 +196,10 @@ def extract_spans(
     elements = _checkpoint_stage(
         spark,
         pages,
-        lambda df: layout_stage(df, cfg, lineage_dir),
+        lambda df: layout_stage(df, cfg, lineage_dir,
+                                with_confidence=with_confidence),
         os.path.join(checkpoint_dir, "elements"),
         ["doc_id", "page_no"],
     )
-    return doc_assemble_stage(elements, lineage_dir, cfg=cfg)
+    return doc_assemble_stage(elements, lineage_dir, cfg=cfg,
+                              with_confidence=with_confidence)

@@ -152,6 +152,14 @@ PAGE_CONFIDENCE_STRUCT = T.StructType(
         T.StructField("low_grade", T.StringType(), False),
     ]
 )
+# Staged-path carrier: the elements stage computes PageConfidenceScores
+# where the post-processed clusters still exist (the page grain — a
+# PARTIAL aggregation in the Spark sense) and ships one nullable struct
+# per page row; doc assembly folds them into the ConfidenceReport.
+ELEMENTS_CONF_SCHEMA = T.StructType(
+    list(ELEMENTS_SCHEMA.fields)
+    + [T.StructField("page_confidence", PAGE_CONFIDENCE_STRUCT, True)]
+)
 DOC_CONFIDENCE_STRUCT = T.StructType(
     [
         T.StructField("mean_score", T.DoubleType(), True),

@@ -560,22 +560,38 @@ def test_connected_components_raises_on_non_convergence(spark):
     assert set(labels.values()) == {0}
 
 
-def test_with_confidence_rejected_on_staged_or_checkpointed_path(spark, tmp_path):
-    import pytest as _pytest
-
+def test_with_confidence_on_staged_and_checkpointed_paths(spark, tmp_path):
+    """The staged path carries confidence as a per-page struct computed
+    at the page grain (partial aggregation) and folded after the doc
+    shuffle — output must equal the fused path's ConfidenceReport."""
     from high_performance_docling_spark.corpus import GenConfig
     from high_performance_docling_spark.pipeline import (
         docs_dataframe,
         extract_spans,
     )
 
-    cfg = GenConfig(seed=1, n_docs=2)
-    docs = docs_dataframe(spark, cfg, num_partitions=1)
-    with _pytest.raises(ValueError, match="with_confidence"):
-        extract_spans(spark, docs, cfg, mode="staged", with_confidence=True)
-    with _pytest.raises(ValueError, match="with_confidence"):
-        extract_spans(spark, docs, cfg, checkpoint_dir=str(tmp_path / "c"),
-                      with_confidence=True)
+    cfg = GenConfig(seed=17, n_docs=6, ocr_frac=0.25, keep_empty_clusters=True)
+    docs = docs_dataframe(spark, cfg, num_partitions=2)
+
+    def norm(rows):
+        out = {}
+        for r in rows:
+            c = r["confidence"]
+            out[r["doc_id"]] = (
+                [s.asDict() for s in r["spans"]],
+                (c["mean_score"], c["low_score"], c["mean_grade"],
+                 c["low_grade"], tuple(p.asDict().items() for p in c["pages"])),
+            )
+        return out
+
+    fused = norm(extract_spans(spark, docs, cfg, with_confidence=True).collect())
+    staged = norm(extract_spans(spark, docs, cfg, mode="staged",
+                                with_confidence=True).collect())
+    assert staged == fused
+    ckpt = norm(extract_spans(spark, docs, cfg,
+                              checkpoint_dir=str(tmp_path / "c"),
+                              with_confidence=True).collect())
+    assert ckpt == fused
 
 
 def test_star_cc_equals_label_propagation_on_pair_graph(spark):
