@@ -160,3 +160,44 @@ def test_rb_order_occlusion_reduction_equals_naive_definition():
             labels.append(rng.choice(labsets))
         ids = list(range(n))
         assert RO._rb_order(boxes, ids, labels) == rb_naive(boxes, ids, labels)
+
+
+def test_html_extractor_total_on_arbitrary_input():
+    """html_to_spans must be TOTAL: any text input yields a (possibly
+    empty) span list, never an exception — web-scale corpora are full of
+    malformed markup."""
+    from hypothesis import given, settings, strategies as st
+
+    from high_performance_docling_spark.kernels.html_extract import (
+        html_to_spans,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=400))
+    def run(s):
+        spans = html_to_spans(s)
+        assert [sp["order"] for sp in spans] == list(range(len(spans)))
+
+    run()
+
+
+def test_pdf_parser_rejects_or_parses_never_crashes():
+    """parse_pdf_pages: ValueError on junk, structured pages otherwise —
+    no other exception class escapes on fuzzed PDF-ish bytes."""
+    from hypothesis import given, settings, strategies as st
+
+    from high_performance_docling_spark.kernels.pdf_parse import (
+        parse_pdf_pages,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=300))
+    def run(data):
+        for payload in (data, b"%PDF-1.4\n" + data):
+            try:
+                pages = parse_pdf_pages(payload)
+                assert isinstance(pages, list) and pages
+            except ValueError:
+                pass
+
+    run()
