@@ -2058,6 +2058,139 @@ ORDER BY t.doc_id
 """
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document TF-IDF keyword extraction (top-5): tf from one
+    explode+groupBy, df from a second groupBy on the token, idf =
+    ln(N/df), top-k via a per-doc window. Scale shape: both aggregations
+    shuffle on near-uniform token keys; the corpus count N is a tiny
+    broadcast scalar; the only per-doc state is the top-k window."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tf = (
+        docs.select(F.col("doc_id"), F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "rk", "tok", "tf", "df", "score")
+        .orderBy("doc_id", "rk")
+    )
+
+
+ORACLE_TFIDF_KEYWORDS = r"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tok, tf, df,
+         round(tf * ln(n_docs * 1.0 / df), 6) AS score
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+)
+SELECT doc_id, rk, tok, tf, df, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, tok ASC) AS rk
+  FROM scored
+) WHERE rk <= 5 ORDER BY doc_id, rk
+"""
+
+
+def q_dedup_representatives(spark, sf_dir):
+    """End-to-end dedup composition: SimHash pair graph → connected
+    components → ONE representative per duplicate cluster, chosen by
+    quality (highest mean token length, ties to the lowest doc id);
+    singleton docs represent themselves. This is the query a pretraining
+    pipeline actually runs — detect, cluster, keep-best — and the oracle
+    recomputes it with the RECURSIVE-CTE closure + the same argmax.
+    hamming <= 1 (vs the components queries' 3) keeps clusters tight so
+    the representative choice is meaningful, not one giant component."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.simhash_band_pairs(DD.simhash(docs, bits=16), max_hamming=1)
+    comps = DD.connected_components(pairs)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    q = docs.select(
+        F.col("doc_id").alias("node"),
+        F.round(F.length("text") / F.size(toks), 4).alias("mean_tok_len"),
+    )
+    full = (
+        q.join(comps, "node", "left")
+        .select(
+            "node", "mean_tok_len",
+            F.coalesce("comp", F.col("node")).alias("component"),
+        )
+    )
+    wc = W.partitionBy("component")
+    wr = wc.orderBy(F.desc("mean_tok_len"), F.asc("node"))
+    return (
+        full.withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("node").alias("keep_id"),
+            "n_members",
+            F.col("mean_tok_len").alias("keep_quality"),
+        )
+        .orderBy("component")
+    )
+
+
+ORACLE_DEDUP_REPRESENTATIVES = (
+    "WITH RECURSIVE fp AS ("
+    + ORACLE_SIMHASH.replace("ORDER BY doc_id", "")
+    + """),
+pairs AS (
+  SELECT a.doc_id AS x, b.doc_id AS y
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+),
+edges AS (SELECT x AS s, y AS d FROM pairs UNION ALL SELECT y, x FROM pairs),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+walk(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d, w.comp FROM edges e JOIN walk w ON e.s = w.node
+),
+comp AS (SELECT node, min(comp) AS component FROM walk GROUP BY node),
+q AS (
+  SELECT doc_id AS node,
+         round(length(text) / len(regexp_split_to_array(trim(text), '\\s+')), 4)
+           AS mean_tok_len
+  FROM documents
+),
+allq AS (
+  SELECT q.node, q.mean_tok_len, coalesce(c.component, q.node) AS component
+  FROM q LEFT JOIN comp c USING (node)
+)
+SELECT component, keep_id, n_members, keep_quality FROM (
+  SELECT component, node AS keep_id, mean_tok_len AS keep_quality,
+         count(*) OVER (PARTITION BY component) AS n_members,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY mean_tok_len DESC, node ASC) AS rk
+  FROM allq
+) WHERE rk = 1 ORDER BY component
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2110,6 +2243,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_agg": q_skew_salted_agg,
     "dedup_components": q_dedup_components,
     "dedup_components_star": q_dedup_components_star,
+    "dedup_representatives": q_dedup_representatives,
+    "tfidf_keywords": q_tfidf_keywords,
     "events_range_join": q_events_range_join,
     "events_time_rollup": q_events_time_rollup,
     "kmv_distinct_sketch": q_kmv_distinct_sketch,
@@ -2162,6 +2297,8 @@ ORACLES: dict[str, str] = {
     "skew_salted_agg": ORACLE_SKEW_SALTED_AGG,
     "dedup_components": ORACLE_DEDUP_COMPONENTS,
     "dedup_components_star": ORACLE_DEDUP_COMPONENTS,
+    "dedup_representatives": ORACLE_DEDUP_REPRESENTATIVES,
+    "tfidf_keywords": ORACLE_TFIDF_KEYWORDS,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "events_time_rollup": ORACLE_EVENTS_TIME_ROLLUP,
     "kmv_distinct_sketch": ORACLE_KMV_DISTINCT,
