@@ -49,3 +49,40 @@ def stream_extract_spans(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_extract_fetched(
+    spark: SparkSession,
+    manifest_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    fetcher=None,
+    max_files_per_trigger: int = 4,
+):
+    """Streaming ingestion of REAL documents: a (doc_id, url) manifest
+    feed → distributed fetch → format-sniffing extraction (PDF parser /
+    HTML boilerplate strip) → parquet append, one foreachBatch reusing
+    the exact batch operators (sources.fetch_documents +
+    extract_fetched_documents). The manifest IS the work queue — fetch
+    parallelism = partitions, per the reference's download loop
+    (main.py:31-43) lifted to a stream."""
+    manifest = (
+        spark.readStream.schema("doc_id string, url string")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(manifest_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        from ..sources import extract_fetched_documents, fetch_documents
+
+        out = extract_fetched_documents(
+            fetch_documents(batch_df, fetcher=fetcher)
+        )
+        out.write.mode("append").parquet(output_dir)
+
+    return (
+        manifest.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

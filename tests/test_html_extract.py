@@ -90,3 +90,42 @@ def test_format_sniffing_stage_routes_pdf_and_html(spark):
     assert out["p"][0] == ("section_header", "Engine Report", 0)
     assert out["h"][0] == ("section_header", "The Real Title", 0)
     assert out["g"][0][0] == "error"
+
+
+def test_streaming_fetch_extract_equals_batch(spark, tmp_path):
+    """stream_extract_fetched over a manifest feed produces exactly the
+    batch path's spans (one code path, foreachBatch)."""
+    from high_performance_docling_spark.sources import (
+        extract_fetched_documents,
+        fetch_documents,
+    )
+    from high_performance_docling_spark.streaming.extract import (
+        stream_extract_fetched,
+    )
+    from tests.test_pdf_seam import _build_pdf
+
+    pdf = _build_pdf()
+
+    def fetcher(url):
+        return pdf if url.endswith(".pdf") else MESSY.encode()
+
+    rows = [(f"d{i}", f"https://x/{i}." + ("pdf" if i % 2 else "html"))
+            for i in range(6)]
+    manifest = spark.createDataFrame(rows, ["doc_id", "url"])
+    mdir, odir, cdir = (str(tmp_path / d) for d in ("m", "o", "c"))
+    manifest.coalesce(2).write.parquet(mdir)
+
+    q = stream_extract_fetched(spark, mdir, odir, cdir, fetcher=fetcher)
+    q.awaitTermination(120)
+
+    def norm(df):
+        return {
+            r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"])
+                          for s in r["spans"]]
+            for r in df.collect()
+        }
+
+    got = norm(spark.read.parquet(odir))
+    want = norm(extract_fetched_documents(
+        fetch_documents(manifest, fetcher=fetcher)))
+    assert got == want and len(got) == 6
