@@ -2191,6 +2191,76 @@ SELECT component, keep_id, n_members, keep_quality FROM (
 )
 
 
+def q_embedding_kmeans_clusters(spark, sf_dir):
+    """Corpus clustering with the fitted k-means (the same kmeans_fit
+    the IVF quantizer uses, serving as a TOPIC/CLUSTER labeler): every
+    vector assigned to its argmax-cosine fitted centroid — a zero-shuffle
+    literal-array projection; per-cluster sizes come from one groupBy.
+    The oracle replays the fit's 3 Lloyd iterations in unrolled SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_fit(emb, k=_IVF_K, n_iter=_IVF_ITERS)
+    assign = SIM.ivf_assign(emb, centroids=cents)
+    sizes = assign.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        assign.join(sizes, "centroid_id")
+        .select(
+            "vec_id", F.col("centroid_id").alias("cluster_id"), "cluster_size"
+        )
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_EMBEDDING_KMEANS_CLUSTERS = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_kmeans_iter_sql(_IVF_ITERS)},
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT b.vec_id, c.cid,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY round(list_cosine_similarity(b.v, c.cv), 9) DESC,
+                      c.cid ASC) AS rn
+    FROM base b CROSS JOIN c{_IVF_ITERS} c
+  ) WHERE rn = 1
+),
+sizes AS (SELECT cid, count(*) AS cluster_size FROM assign GROUP BY cid)
+SELECT vec_id, cid AS cluster_id, cluster_size
+FROM assign JOIN sizes USING (cid) ORDER BY vec_id
+"""
+
+
+def q_train_val_split(spark, sf_dir):
+    """Deterministic corpus split (the train/val/test assignment every
+    pretraining run needs, reproducible across engines and reruns):
+    bucket = portable md5(doc_id) % 100 → 98/1/1 split. Pure projection,
+    zero shuffle; the split is a FUNCTION of the id, so adding data
+    never reshuffles old assignments."""
+    from .operators.chunking import bucket_of
+
+    docs = _t(spark, sf_dir, "documents")
+    b = bucket_of(F.col("doc_id"), 100)
+    split = (
+        F.when(b < 98, "train").when(b < 99, "val").otherwise("test")
+    )
+    return docs.select(
+        "doc_id", b.alias("bucket"), split.alias("split")
+    ).orderBy("doc_id")
+
+
+ORACLE_TRAIN_VAL_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 98 THEN 'train'
+            WHEN bucket < 99 THEN 'val' ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2245,6 +2315,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components_star": q_dedup_components_star,
     "dedup_representatives": q_dedup_representatives,
     "tfidf_keywords": q_tfidf_keywords,
+    "embedding_kmeans_clusters": q_embedding_kmeans_clusters,
+    "train_val_split": q_train_val_split,
     "events_range_join": q_events_range_join,
     "events_time_rollup": q_events_time_rollup,
     "kmv_distinct_sketch": q_kmv_distinct_sketch,
@@ -2299,6 +2371,8 @@ ORACLES: dict[str, str] = {
     "dedup_components_star": ORACLE_DEDUP_COMPONENTS,
     "dedup_representatives": ORACLE_DEDUP_REPRESENTATIVES,
     "tfidf_keywords": ORACLE_TFIDF_KEYWORDS,
+    "embedding_kmeans_clusters": ORACLE_EMBEDDING_KMEANS_CLUSTERS,
+    "train_val_split": ORACLE_TRAIN_VAL_SPLIT,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "events_time_rollup": ORACLE_EVENTS_TIME_ROLLUP,
     "kmv_distinct_sketch": ORACLE_KMV_DISTINCT,

@@ -35,7 +35,8 @@ def test_all_oracles_parse_in_duckdb():
 # components). Everything else must build lazily — no .first()/.collect()
 # hidden in plan construction (VERDICT r2 #7).
 CONSTRUCTION_RUNS_JOBS = {"embedding_ivf_ann", "dedup_components",
-                          "dedup_components_star", "dedup_representatives"}
+                          "dedup_components_star", "dedup_representatives",
+                          "embedding_kmeans_clusters"}
 
 
 def test_registry_construction_runs_no_jobs(spark):
