@@ -2052,7 +2052,7 @@ hits AS (
   GROUP BY doc_id
 )
 SELECT t.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
-       coalesce(h.n_hits, 0) > 0 AS contaminated
+       (coalesce(h.n_hits, 0) > 0)::INT AS contaminated
 FROM toks_t t LEFT JOIN hits h USING (doc_id)
 ORDER BY t.doc_id
 """

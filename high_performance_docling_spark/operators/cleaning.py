@@ -62,5 +62,7 @@ def decontaminate(
     return ids.join(hits, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        # int (not boolean) so the driver's value-hash canonicalization
+        # is engine-portable (bool wire formats were never exercised)
+        (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
     )

@@ -649,5 +649,5 @@ def test_decontaminate_flags_only_overlapping_docs(spark):
     )
     got = {r["doc_id"]: (r["n_hits"], r["contaminated"])
            for r in decontaminate(docs, bench, n=13).collect()}
-    assert got[1][0] == 8 and got[1][1] is True   # 20-token window: 8 13-grams
-    assert got[2] == (0, False)
+    assert got[1] == (8, 1)   # 20-token window: 8 13-grams
+    assert got[2] == (0, 0)
