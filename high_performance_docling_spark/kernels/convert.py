@@ -123,13 +123,29 @@ def _detect_batch(
 
 
 def process_page_batch(
-    items: list[tuple[str, TypesetPage]], cfg: GenConfig
+    items: list[tuple[str, TypesetPage]], cfg: GenConfig,
+    timers: dict[str, float] | None = None,
 ) -> list[list[dict]]:
     """Layout postprocess each page, then OCR fill, then table structure —
     layout, OCR and table model batches all form across the whole batch
     (which may mix documents, as the Spark stage's Arrow batches do),
-    each through the executor-local harness singleton."""
+    each through the executor-local harness singleton.
+
+    ``timers`` (optional) accumulates per-phase wall ms under the
+    reference's timer field names (gpu_processor.py:102-129 layout
+    predict/postprocess, :204-234 OCR; tf_predictor.py:556-562 tables) —
+    the lineage sink turns them into the per-run timer dump."""
+    import time as _time
+
+    def _mark(key: str, t0: float) -> float:
+        t1 = _time.monotonic()
+        if timers is not None:
+            timers[key] = timers.get(key, 0.0) + (t1 - t0) * 1000.0
+        return t1
+
+    t = _time.monotonic()
     detections = _detect_batch(items, cfg)
+    t = _mark("layout_predict", t)
     page_clusters = [
         postprocess_page(
             p.width, p.height, p.cells, dets,
@@ -137,9 +153,12 @@ def process_page_batch(
         )
         for (doc_id, p), dets in zip(items, detections)
     ]
+    t = _mark("layout_postprocess", t)
     if cfg.keep_empty_clusters:
         apply_ocr([(doc_id, p.page_no) for doc_id, p in items], page_clusters)
+        t = _mark("ocr", t)
     attach_table_structures(page_clusters, [p.cells for _, p in items])
+    _mark("table_structure", t)
     return page_clusters
 
 

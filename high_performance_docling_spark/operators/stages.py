@@ -51,7 +51,9 @@ from ..schemas import (
 from .model_harness import ModelSpec, arrow_model_stage
 
 
-def _write_lineage(lineage_dir: str | None, stage: str, n_in: int, n_out: int, t0: float) -> None:
+def _write_lineage_ms(
+    lineage_dir: str | None, stage: str, n_in: int, n_out: int, wall_ms: float
+) -> None:
     """Append a per-partition lineage row (SURVEY.md §2.9). Executor-local
     file append; on a real cluster this directory is shared storage."""
     if not lineage_dir:
@@ -69,10 +71,17 @@ def _write_lineage(lineage_dir: str | None, stage: str, n_in: int, n_out: int, t
         "partition_id": pid,
         "input_rows": n_in,
         "output_rows": n_out,
-        "wall_ms": (time.monotonic() - t0) * 1000.0,
+        "wall_ms": wall_ms,
     }
-    with open(os.path.join(lineage_dir, f"{stage}-{pid}-{os.getpid()}.jsonl"), "a") as f:
+    fname = f"{stage.replace('/', '.')}-{pid}-{os.getpid()}.jsonl"
+    with open(os.path.join(lineage_dir, fname), "a") as f:
         f.write(json.dumps(row) + "\n")
+
+
+def _write_lineage(lineage_dir: str | None, stage: str, n_in: int, n_out: int, t0: float) -> None:
+    _write_lineage_ms(
+        lineage_dir, stage, n_in, n_out, (time.monotonic() - t0) * 1000.0
+    )
 
 
 # --------------------------------------------------------------------------
@@ -362,6 +371,7 @@ def doc_fused_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None,
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t0 = time.monotonic()
         n = 0
+        timers: dict[str, float] = {}
         for pdf in batches:
             rows = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
@@ -369,13 +379,19 @@ def doc_fused_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None,
                 span_list = [dict(s) for s in spans]
                 span_list.sort(key=lambda s: s["offset"])
                 res = extract_doc_result(doc_id, span_list, cfg,
-                                         with_confidence=with_confidence)
+                                         with_confidence=with_confidence,
+                                         timers=timers if lineage_dir else None)
                 row = {"doc_id": doc_id, "spans": res["spans"]}
                 if with_confidence:
                     row["confidence"] = res["confidence"]
                 rows.append(row)
             yield pd.DataFrame(rows, columns=cols)
         _write_lineage(lineage_dir, "doc_fused", n, n, t0)
+        # per-phase timer dump, mirroring the reference's stage timers
+        # (gpu_processor.py:333-363 / tf_predictor.py:556-562): one
+        # lineage row per phase so lineage_report prints the breakdown
+        for phase, ms in sorted(timers.items()):
+            _write_lineage_ms(lineage_dir, f"doc_fused/{phase}", n, n, ms)
 
     return docs_df.mapInPandas(
         fn, SPANS_CONF_SCHEMA if with_confidence else SPANS_OUT_SCHEMA

@@ -28,15 +28,31 @@ def extract_doc_spans(
 def extract_doc_result(
     doc_id: str, spans: list[dict[str, Any]], cfg: GenConfig,
     with_confidence: bool = False,
+    timers: dict[str, float] | None = None,
 ) -> dict[str, Any]:
     """docs-row → {"spans": [...], "confidence": ConfidenceReport dict}.
 
     The confidence struct is the reference's per-page + per-document
     quality report (base_models.py:379-459), computed from the same
     post-processed clusters the spans come from (layout_model.py:243-249
-    hook point)."""
+    hook point). ``timers`` accumulates per-phase wall ms (parse /
+    layout_predict / layout_postprocess / ocr / table_structure /
+    doc_assemble) — the reference's stage-timer analogue."""
+    import time as _time
+
+    def _mark(key: str, t0: float) -> float:
+        t1 = _time.monotonic()
+        if timers is not None:
+            timers[key] = timers.get(key, 0.0) + (t1 - t0) * 1000.0
+        return t1
+
+    t = _time.monotonic()
     pages = typeset(doc_id, spans, cfg)
-    page_clusters = process_page_batch([(doc_id, p) for p in pages], cfg)
+    t = _mark("parse", t)
+    page_clusters = process_page_batch(
+        [(doc_id, p) for p in pages], cfg, timers=timers
+    )
+    t = _time.monotonic()
     elements: list[dict[str, Any]] = []
     for page, clusters in zip(pages, page_clusters):
         elements.extend(assemble_page_elements(doc_id, page.page_no, clusters))
@@ -50,6 +66,7 @@ def extract_doc_result(
             reading_order_mode=getattr(cfg, "reading_order_mode", None),
         )
     }
+    _mark("doc_assemble", t)
     if with_confidence:
         from .kernels.confidence import doc_confidence, page_confidence
 

@@ -152,3 +152,31 @@ def test_confidence_report_on_pipeline_output(spark):
         g = got_pages[p["page_no"]]
         for k in ("layout_score", "mean_score", "low_score"):
             assert abs(g[k] - p[k]) < 1e-12
+
+
+def test_fused_lineage_reports_per_phase_timers(spark, tmp_path):
+    """The fused stage writes one lineage row per internal phase (parse /
+    layout_predict / layout_postprocess / table_structure / doc_assemble)
+    — the reference's stage-timer dump (gpu_processor.py:333-363) as
+    lineage rows; phase sums must not exceed the stage total."""
+    import json
+
+    cfg = GenConfig(seed=3, n_docs=6)
+    ldir = str(tmp_path / "lineage")
+    docs = docs_dataframe(spark, cfg, num_partitions=2)
+    extract_spans(spark, docs, cfg, lineage_dir=ldir).collect()
+
+    rows = []
+    for f in os.listdir(ldir):
+        with open(os.path.join(ldir, f)) as fh:
+            rows.extend(json.loads(ln) for ln in fh)
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r["stage"], 0.0)
+        by_stage[r["stage"]] += r["wall_ms"]
+    for phase in ("doc_fused/parse", "doc_fused/layout_predict",
+                  "doc_fused/layout_postprocess",
+                  "doc_fused/table_structure", "doc_fused/doc_assemble"):
+        assert phase in by_stage and by_stage[phase] > 0.0, phase
+    phase_sum = sum(v for k, v in by_stage.items() if k.startswith("doc_fused/"))
+    assert phase_sum <= by_stage["doc_fused"] * 1.05
