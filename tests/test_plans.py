@@ -107,3 +107,12 @@ def test_scrub_pii_is_pure_jvm_projection(spark):
     p = plan(spark, "scrub_pii")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Exchange hashpartitioning" not in p  # zero shuffle
+
+
+def test_extract_html_spans_one_python_stage_no_shuffle(spark):
+    # payload → spans is ONE narrow mapInPandas pass; the only exchange
+    # is the final presentation sort (range partitioning), never a hash
+    # shuffle of the corpus
+    p = plan(spark, "extract_html_spans")
+    assert p.count("MapInPandas") == 1
+    assert "Exchange hashpartitioning" not in p
