@@ -26,7 +26,9 @@ def read_table(spark, sf_dir: str, name: str):
     means the parquet footer schema-inference job spark.read.parquet
     fires once per table and registry-query CONSTRUCTION stays job-free
     (VERDICT r2 #7, asserted in tests/test_registry.py)."""
-    key = (id(spark), sf_dir, name)
+    # applicationId (not id(spark)): a stopped session's memory address
+    # can be reused by a NEW session, which would alias dead DataFrames
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     if key not in _TABLE_CACHE:
         _TABLE_CACHE[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return _TABLE_CACHE[key]
