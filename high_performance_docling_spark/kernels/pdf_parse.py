@@ -76,11 +76,13 @@ def _unescape(s: bytes) -> str:
                 out.append(mapping[nxt])
                 i += 2
                 continue
-            if nxt.isdigit():  # octal escape
-                oct_digits = re.match(rb"\\([0-7]{1,3})", s[i:]).group(1)
-                out.append(chr(int(oct_digits, 8)))
-                i += 1 + len(oct_digits)
-                continue
+            if nxt.isdigit():  # octal escape (\8 / \9 are not octal —
+                # fall through to literal emission below)
+                m = re.match(rb"\\([0-7]{1,3})", s[i:])
+                if m:
+                    out.append(chr(int(m.group(1), 8)))
+                    i += 1 + len(m.group(1))
+                    continue
         out.append(c.decode("latin-1"))
         i += 1
     return "".join(out)
