@@ -1436,18 +1436,18 @@ def q_embedding_ivf_ann(spark, sf_dir):
     ).orderBy("query_id", "rk")
 
 
-def _kmeans_iter_sql(n_iter: int) -> str:
+def _kmeans_iter_sql(n_iter: int, k: int = _IVF_K) -> str:
     """Unrolled Lloyd-iteration CTEs c0..c{n}: assignment by argmax of
     round(cosine, 9) (lower cid wins ties), update = per-position mean
     rounded to 6 decimals, empty clusters keep the previous centroid —
     the exact arithmetic SIM.kmeans_fit performs."""
     parts = [
-        """
+        f"""
 c0 AS (
   SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid,
          v AS cv
   FROM base
-  QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 8
+  QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= {k}
 )"""
     ]
     for i in range(1, n_iter + 1):

@@ -119,8 +119,11 @@ class _Extractor(HTMLParser):
                                     "media_ref": src})
             return
         if tag == "table":
+            # nested tables flatten into the outermost one (their rows
+            # append to the same buffer); only depth 0->1 starts fresh
+            if self._in_table == 0:
+                self._table_rows = []
             self._in_table += 1
-            self._table_rows = []
             return
         if self._in_table:
             if tag == "tr":
@@ -148,6 +151,8 @@ class _Extractor(HTMLParser):
             return
         if tag == "table" and self._in_table:
             self._in_table -= 1
+            if self._in_table:  # closing a nested table: keep buffering
+                return
             rows = ["\t".join(r) for r in self._table_rows if r]
             if rows:
                 self.blocks.append({"kind": "table",

@@ -129,3 +129,16 @@ def test_streaming_fetch_extract_equals_batch(spark, tmp_path):
     want = norm(extract_fetched_documents(
         fetch_documents(manifest, fetcher=fetcher)))
     assert got == want and len(got) == 6
+
+
+def test_nested_tables_flatten_into_outer():
+    h = ("<body><table><tr><td>a</td><td>"
+         "<table><tr><td>x</td></tr></table>"
+         "</td></tr><tr><td>b</td></tr></table>"
+         "<p>after the nested table text</p></body>")
+    spans = html_to_spans(h)
+    assert spans[0]["kind"] == "table"
+    assert "a" in spans[0]["text"] and "x" in spans[0]["text"] \
+        and "b" in spans[0]["text"]
+    assert spans[1] == {"kind": "text", "text": "after the nested table text",
+                        "media_ref": "", "order": 1}
