@@ -2261,6 +2261,63 @@ FROM b ORDER BY doc_id
 """
 
 
+def q_dedup_substring_spans(spark, sf_dir):
+    """Exact duplicated-substring statistics (Lee et al., ACL 2022 — the
+    suffix-array dedup unit re-expressed relationally): 20-token windows
+    whose md5 repeats anywhere in the corpus mark duplicated spans;
+    overlapping windows merge per document (gaps-and-islands) and the
+    stats report span count, duplicated tokens and the duplicated
+    fraction. The oracle recomputes the identical window hashes, HAVING
+    filter and island merge in SQL."""
+    return DD.duplicate_substring_stats(
+        _t(spark, sf_dir, "documents"), min_tokens=20
+    ).orderBy("doc_id")
+
+
+ORACLE_DEDUP_SUBSTRING_SPANS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+         len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n
+  FROM documents
+),
+w AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 20)) AS pos0, toks
+  FROM t WHERE n >= 20
+),
+h AS (
+  SELECT doc_id, n, pos0,
+         md5(array_to_string(toks[pos0 + 1 : pos0 + 20], ' ')) AS h
+  FROM w
+),
+dups AS (SELECT h FROM h GROUP BY h HAVING count(*) > 1),
+m AS (SELECT doc_id, n, pos0 FROM h JOIN dups USING (h)),
+isl AS (
+  SELECT doc_id, n, pos0,
+         sum(CASE WHEN prev IS NULL OR pos0 - prev > 20 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos0
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM (SELECT *, lag(pos0) OVER (PARTITION BY doc_id ORDER BY pos0) AS prev
+        FROM m)
+),
+sp AS (
+  SELECT doc_id, n, island, min(pos0) AS s, max(pos0) + 20 AS e
+  FROM isl GROUP BY doc_id, n, island
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_dup_spans,
+         sum(e - s)::BIGINT AS dup_tokens,
+         round(sum(e - s) * 1.0 / max(n), 4) AS dup_frac
+  FROM sp GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       coalesce(a.dup_tokens, 0)::BIGINT AS dup_tokens,
+       coalesce(a.dup_frac, 0.0) AS dup_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2317,6 +2374,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_keywords": q_tfidf_keywords,
     "embedding_kmeans_clusters": q_embedding_kmeans_clusters,
     "train_val_split": q_train_val_split,
+    "dedup_substring_spans": q_dedup_substring_spans,
     "events_range_join": q_events_range_join,
     "events_time_rollup": q_events_time_rollup,
     "kmv_distinct_sketch": q_kmv_distinct_sketch,
@@ -2373,6 +2431,7 @@ ORACLES: dict[str, str] = {
     "tfidf_keywords": ORACLE_TFIDF_KEYWORDS,
     "embedding_kmeans_clusters": ORACLE_EMBEDDING_KMEANS_CLUSTERS,
     "train_val_split": ORACLE_TRAIN_VAL_SPLIT,
+    "dedup_substring_spans": ORACLE_DEDUP_SUBSTRING_SPANS,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "events_time_rollup": ORACLE_EVENTS_TIME_ROLLUP,
     "kmv_distinct_sketch": ORACLE_KMV_DISTINCT,

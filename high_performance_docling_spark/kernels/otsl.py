@@ -291,7 +291,6 @@ def _covered_positions(otsl_seq: list[str]) -> set[int]:
     idx = -1
     for tag in otsl_seq:
         if tag == "nl":
-            idx += 0
             continue
         idx += 1
         if tag in EMITTING_TAGS:

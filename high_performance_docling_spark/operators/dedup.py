@@ -23,7 +23,7 @@ O(N²) to near-linear before the exact verify.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 # 56-bit portable hash: Spark conv(substring(md5(x),1,14),16,10)
 # == DuckDB ('0x' || substr(md5(x),1,14))::BIGINT
@@ -361,3 +361,74 @@ def connected_components(
             "long-chain graphs"
         )
     return labels
+
+
+def duplicate_substring_stats(
+    df: DataFrame,
+    min_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring detection — the dedup unit of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"
+    (ACL 2022), re-expressed relationally instead of via suffix arrays:
+    a token window of ``min_tokens`` whose md5 appears MORE THAN ONCE in
+    the corpus marks a duplicated span; per document, overlapping marked
+    windows merge into maximal intervals (gaps-and-islands: a new island
+    starts when the next window position is more than ``min_tokens``
+    past the previous one).
+
+    Returns one row per input document:
+      (doc_id, n_dup_spans, dup_tokens, dup_frac)
+    with zeros for documents containing no duplicated span (including
+    docs shorter than the window).
+
+    Scale shape: the window hashes are computed INSIDE the array (one
+    transform, no token payload through the explode); the only wide ops
+    are a groupBy on uniform md5 keys and a per-doc island window."""
+    L = min_tokens
+    toks = tokens(df, text_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks"),
+        F.size(toks).alias("n"),
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.col("n") - (L - 1)),
+        lambda p: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), p, L))),
+    )
+    wins = base.filter(F.col("n") >= L).select(
+        "doc_id", "n", F.posexplode(hashes).alias("pos0", "h")
+    )
+    dup_h = (
+        wins.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    marked = wins.join(dup_h, "h").select("doc_id", "n", "pos0")
+    w = W.partitionBy("doc_id").orderBy("pos0")
+    gap = F.col("pos0") - F.lag("pos0").over(w)
+    boundary = F.when(gap.isNull() | (gap > L), 1).otherwise(0)
+    isl = marked.withColumn(
+        "island",
+        F.sum(boundary).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    spans_ = isl.groupBy("doc_id", "n", "island").agg(
+        F.min("pos0").alias("s"), (F.max("pos0") + L).alias("e")
+    )
+    agg = spans_.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
+        F.round(
+            F.sum(F.col("e") - F.col("s")) / F.first("n"), 4
+        ).alias("dup_frac"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.coalesce("dup_frac", F.lit(0.0)).alias("dup_frac"),
+        )
+    )

@@ -651,3 +651,23 @@ def test_decontaminate_flags_only_overlapping_docs(spark):
            for r in decontaminate(docs, bench, n=13).collect()}
     assert got[1] == (8, 1)   # 20-token window: 8 13-grams
     assert got[2] == (0, 0)
+
+
+def test_duplicate_substring_stats_island_merging(spark):
+    """Crafted docs: a 25-token block repeated in two docs yields SIX
+    duplicated 20-token windows each that must merge into ONE span of 25
+    tokens; a doc with no repeats reports zeros."""
+    block = " ".join(f"dup{i}" for i in range(25))
+    uniq1 = " ".join(f"u{i}" for i in range(30))
+    uniq2 = " ".join(f"v{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, uniq1 + " " + block),
+         (2, block + " " + uniq2),
+         (3, " ".join(f"w{i}" for i in range(40)))],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"], r["dup_frac"])
+           for r in DD.duplicate_substring_stats(docs, min_tokens=20).collect()}
+    assert got[1] == (1, 25, round(25 / 55, 4))
+    assert got[2] == (1, 25, round(25 / 55, 4))
+    assert got[3] == (0, 0, 0.0)
