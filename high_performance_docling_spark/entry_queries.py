@@ -2244,7 +2244,9 @@ def q_train_val_split(spark, sf_dir):
         F.when(b < 98, "train").when(b < 99, "val").otherwise("test")
     )
     return docs.select(
-        "doc_id", b.alias("bucket"), split.alias("split")
+        "doc_id",
+        b.cast("long").alias("bucket"),  # BIGINT like the oracle's %
+        split.alias("split"),
     ).orderBy("doc_id")
 
 
