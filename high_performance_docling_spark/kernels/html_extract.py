@@ -70,22 +70,44 @@ def _kind(tag: str) -> str:
 
 
 class _Extractor(HTMLParser):
+    """One-pass boilerplate-stripping extractor.
+
+    Stack frames are dicts {tag, inline, text, link_chars}; inline frames
+    carry no text (data flows to the nearest enclosing block frame).  End
+    tags pop by TAG MATCH (closing any intervening blocks), and tags with
+    optional end tags (li, p, td/th) implicitly close a still-open sibling
+    — so real-world HTML that omits </li>/</p>/</td> keeps document
+    order.  Strip regions track a TAG STACK rather than a counter, so
+    void tags (<br>, <img>, <input>) and omitted end tags inside
+    nav/footer/form can never wedge the parser in strip mode.
+    """
+
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.blocks: list[dict[str, Any]] = []
-        self._strip_depth = 0
+        self._strip_stack: list[str] = []
         self._anchor_depth = 0
-        self._stack: list[dict[str, Any] | None] = []
+        self._stack: list[dict[str, Any]] = []
         self._in_table = 0
         self._table_rows: list[list[str]] = []
 
     # -- helpers -----------------------------------------------------------
     def _open_block(self, tag: str) -> None:
-        self._stack.append({"tag": tag, "text": [], "link_chars": 0})
+        self._stack.append({"tag": tag, "inline": False, "text": [],
+                            "link_chars": 0})
+
+    def _open_inline(self, tag: str) -> None:
+        self._stack.append({"tag": tag, "inline": True})
+
+    def _pop_frame(self) -> dict[str, Any]:
+        frame = self._stack.pop()
+        if frame["tag"] == "a":
+            self._anchor_depth = max(0, self._anchor_depth - 1)
+        return frame
 
     def _close_block(self) -> None:
-        blk = self._stack.pop()
-        if blk is None:
+        blk = self._pop_frame()
+        if blk["inline"]:
             return
         text = " ".join("".join(blk["text"]).split())
         if not text:
@@ -99,24 +121,43 @@ class _Extractor(HTMLParser):
         self.blocks.append({"kind": _kind(blk["tag"]), "text": text,
                             "media_ref": ""})
 
+    def _close_cell(self) -> None:
+        """Drain an open td/th frame into the current table row."""
+        if (self._stack and not self._stack[-1]["inline"]
+                and self._stack[-1]["tag"] in ("td", "th")):
+            blk = self._pop_frame()
+            if self._table_rows:
+                cell = " ".join("".join(blk["text"]).split())
+                self._table_rows[-1].append(cell)
+
+    def _top_block_tag(self) -> str | None:
+        if self._stack and not self._stack[-1]["inline"]:
+            return self._stack[-1]["tag"]
+        return None
+
     # -- parser events ------------------------------------------------------
     def handle_starttag(self, tag, attrs):
-        ad = dict(attrs)
-        marker = f"{ad.get('id', '')} {ad.get('class', '')}"
-        if self._strip_depth or tag in STRIP_TAGS or BOILERPLATE_RX.search(marker):
-            self._strip_depth += 1
-            return
+        # Void tags never receive end tags: they must not touch the strip
+        # stack or the block stack regardless of context (a <br> inside
+        # <nav> previously left the parser stripping forever).
         if tag in _VOID_TAGS:
             return
-        if tag == "a":
-            self._anchor_depth += 1
-            self._stack.append(None)
-            return
         if tag == "img":
-            src = ad.get("src", "")
+            if self._strip_stack:
+                return
+            src = dict(attrs).get("src", "")
             if src:
                 self.blocks.append({"kind": "picture", "text": "",
                                     "media_ref": src})
+            return
+        ad = dict(attrs)
+        marker = f"{ad.get('id', '')} {ad.get('class', '')}"
+        if self._strip_stack or tag in STRIP_TAGS or BOILERPLATE_RX.search(marker):
+            self._strip_stack.append(tag)
+            return
+        if tag == "a":
+            self._anchor_depth += 1
+            self._open_inline(tag)
             return
         if tag == "table":
             # nested tables flatten into the outermost one (their rows
@@ -127,29 +168,37 @@ class _Extractor(HTMLParser):
             return
         if self._in_table:
             if tag == "tr":
+                self._close_cell()  # <tr> implies closing an open cell
                 self._table_rows.append([])
             elif tag in ("td", "th"):
+                self._close_cell()  # sibling cell with omitted </td>
                 self._open_block(tag)
             return
+        # Optional end tags: a new <li> closes an open li; any block-level
+        # start closes an open <p> (HTML5 "optional tags" rules).
+        top = self._top_block_tag()
+        if tag == "li" and top == "li":
+            self._close_block()
+        elif tag in BLOCK_TAGS and top == "p":
+            self._close_block()
         if tag in BLOCK_TAGS:
             self._open_block(tag)
         else:
-            self._stack.append(None)  # inline: text flows to enclosing block
+            self._open_inline(tag)  # inline: text flows to enclosing block
 
     def handle_endtag(self, tag):
-        if self._strip_depth:
-            self._strip_depth -= 1
-            return
-        if tag in _VOID_TAGS:
-            return
-        if tag == "a":
-            self._anchor_depth = max(0, self._anchor_depth - 1)
-            if self._stack and self._stack[-1] is None:
-                self._stack.pop()
-            return
-        if tag == "img":
+        if tag in _VOID_TAGS or tag == "img":
+            return  # stray </br> etc. must not unwind anything
+        if self._strip_stack:
+            # Pop to the nearest matching open stripped tag; a stray end
+            # tag with no open match (omitted start, typo) is ignored —
+            # omitted end tags inside boilerplate unwind at the ancestor.
+            if tag in self._strip_stack:
+                while self._strip_stack.pop() != tag:
+                    pass
             return
         if tag == "table" and self._in_table:
+            self._close_cell()
             self._in_table -= 1
             if self._in_table:  # closing a nested table: keep buffering
                 return
@@ -159,23 +208,28 @@ class _Extractor(HTMLParser):
                                     "text": "\n".join(rows), "media_ref": ""})
             return
         if self._in_table:
-            if tag in ("td", "th") and self._stack:
-                blk = self._stack.pop()
-                if blk is not None and self._table_rows:
-                    cell = " ".join("".join(blk["text"]).split())
-                    self._table_rows[-1].append(cell)
+            if tag in ("tr", "td", "th"):
+                self._close_cell()  # </tr> with omitted </td> drains too
             return
-        if self._stack:
-            if self._stack[-1] is None:
-                self._stack.pop()
+        # Generic: pop to the MATCHING open frame, closing any intervening
+        # blocks (omitted </li>/</p> before a parent's end tag close here,
+        # in document order); an end tag with no open match is ignored.
+        if not any(f["tag"] == tag for f in self._stack):
+            return
+        while self._stack:
+            matched = self._stack[-1]["tag"] == tag
+            if self._stack[-1]["inline"]:
+                self._pop_frame()
             else:
                 self._close_block()
+            if matched:
+                return
 
     def handle_data(self, data):
-        if self._strip_depth or not data:
+        if self._strip_stack or not data:
             return
         target = next(
-            (b for b in reversed(self._stack) if b is not None), None
+            (b for b in reversed(self._stack) if not b["inline"]), None
         )
         if target is None:
             return
@@ -190,10 +244,19 @@ def html_to_spans(html: str) -> list[dict[str, Any]]:
     ex = _Extractor()
     ex.feed(html)
     ex.close()
-    # drain any unclosed blocks (malformed HTML)
+    # drain any unclosed structures (malformed HTML): an unterminated
+    # table flushes first (open cell → row, rows → one table block),
+    # then remaining block frames close in stack order
+    if ex._in_table:
+        ex._close_cell()
+        rows = ["\t".join(r) for r in ex._table_rows if r]
+        if rows:
+            ex.blocks.append({"kind": "table", "text": "\n".join(rows),
+                              "media_ref": ""})
+        ex._in_table = 0
     while ex._stack:
-        if ex._stack[-1] is None:
-            ex._stack.pop()
+        if ex._stack[-1]["inline"]:
+            ex._pop_frame()
         else:
             ex._close_block()
     return [

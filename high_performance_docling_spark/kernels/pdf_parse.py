@@ -70,19 +70,29 @@ def _unescape(s: bytes) -> str:
         c = s[i:i + 1]
         if c == b"\\" and i + 1 < len(s):
             nxt = s[i + 1:i + 2]
-            mapping = {b"n": "\n", b"r": "\r", b"t": "\t", b"(": "(",
-                       b")": ")", b"\\": "\\"}
+            mapping = {b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b",
+                       b"f": "\f", b"(": "(", b")": ")", b"\\": "\\"}
             if nxt in mapping:
                 out.append(mapping[nxt])
                 i += 2
                 continue
-            if nxt.isdigit():  # octal escape (\8 / \9 are not octal —
-                # fall through to literal emission below)
+            if nxt.isdigit():  # octal escape (\8 / \9 are not octal)
                 m = re.match(rb"\\([0-7]{1,3})", s[i:])
                 if m:
                     out.append(chr(int(m.group(1), 8)))
                     i += 1 + len(m.group(1))
                     continue
+            # ISO 32000 7.3.4.2: backslash-EOL is a line continuation
+            # (emits nothing); any other backslash-X ignores the
+            # backslash and keeps only X — never a literal backslash.
+            if nxt in (b"\r", b"\n"):
+                i += 2
+                if nxt == b"\r" and s[i:i + 1] == b"\n":
+                    i += 1
+                continue
+            out.append(nxt.decode("latin-1"))
+            i += 2
+            continue
         out.append(c.decode("latin-1"))
         i += 1
     return "".join(out)

@@ -57,6 +57,7 @@ def stream_extract_fetched(
     output_dir: str,
     checkpoint_dir: str,
     fetcher=None,
+    real_http: bool = False,
     max_files_per_trigger: int = 4,
 ):
     """Streaming ingestion of REAL documents: a (doc_id, url) manifest
@@ -76,7 +77,7 @@ def stream_extract_fetched(
         from ..sources import extract_fetched_documents, fetch_documents
 
         out = extract_fetched_documents(
-            fetch_documents(batch_df, fetcher=fetcher)
+            fetch_documents(batch_df, fetcher=fetcher, real_http=real_http)
         )
         out.write.mode("append").parquet(output_dir)
 

@@ -30,5 +30,9 @@ def read_table(spark, sf_dir: str, name: str):
     # can be reused by a NEW session, which would alias dead DataFrames
     key = (spark.sparkContext.applicationId, sf_dir, name)
     if key not in _TABLE_CACHE:
+        # purge entries from dead sessions so long-lived drivers cycling
+        # sessions (tests, notebooks) don't leak stale DataFrame plans
+        for stale in [k for k in _TABLE_CACHE if k[0] != key[0]]:
+            del _TABLE_CACHE[stale]
         _TABLE_CACHE[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return _TABLE_CACHE[key]

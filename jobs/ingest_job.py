@@ -65,7 +65,8 @@ def main() -> None:
         )
 
         q = stream_extract_fetched(
-            spark, args.manifest, args.output, args.checkpoint_dir
+            spark, args.manifest, args.output, args.checkpoint_dir,
+            real_http=args.real_http,
         )
         q.awaitTermination()
     else:

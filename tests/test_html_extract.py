@@ -131,6 +131,51 @@ def test_streaming_fetch_extract_equals_batch(spark, tmp_path):
     assert got == want and len(got) == 6
 
 
+def test_void_tags_inside_stripped_subtrees_do_not_wedge_strip_mode():
+    """r3 ADVICE (high): a non-self-closed <br>/<img>/<input> inside
+    nav/header/footer/form used to increment strip depth forever."""
+    cases = [
+        "<nav>menu<br>more</nav><p>content paragraph here</p>",
+        "<form><input type='text'></form><p>content paragraph here</p>",
+        "<div class='ad'><img src='x.png'></div><p>content paragraph here</p>",
+        "<header><a>x</a><hr><a>y</a></header><p>content paragraph here</p>",
+    ]
+    for h in cases:
+        spans = html_to_spans(h)
+        assert [s["text"] for s in spans] == ["content paragraph here"], h
+
+
+def test_omitted_end_tags_inside_boilerplate_unwind_at_ancestor():
+    # <p> with omitted </p> inside <nav>: </nav> must still exit strip mode
+    h = "<nav><p>skip one<p>skip two</nav><p>kept content text</p>"
+    assert [s["text"] for s in html_to_spans(h)] == ["kept content text"]
+
+
+def test_optional_end_tags_keep_document_order():
+    """r3 ADVICE (medium): <ul><li>a<li>b</ul> used to emit b before a."""
+    h = ("<ul><li>alpha item one<li>beta item two</ul>"
+         "<p>following paragraph text</p>")
+    assert [(s["kind"], s["text"]) for s in html_to_spans(h)] == [
+        ("list_item", "alpha item one"),
+        ("list_item", "beta item two"),
+        ("text", "following paragraph text"),
+    ]
+    # p-after-p and block-closes-p
+    h2 = "<p>first paragraph text<p>second paragraph text<div>div block text</div>"
+    assert [s["text"] for s in html_to_spans(h2)] == [
+        "first paragraph text", "second paragraph text", "div block text"]
+    # omitted </td>: sibling cells and rows still band correctly
+    h3 = "<table><tr><td>a1<td>a2<tr><td>b1<td>b2</table>"
+    assert html_to_spans(h3)[0]["text"] == "a1\ta2\nb1\tb2"
+
+
+def test_stray_end_tag_is_ignored_not_block_closing():
+    h = "<div>outer text <p>inner paragraph text</span> continues</p></div>"
+    # </span> has no open match: the p block must keep accumulating
+    assert [s["text"] for s in html_to_spans(h)] == [
+        "inner paragraph text continues", "outer text"]
+
+
 def test_nested_tables_flatten_into_outer():
     h = ("<body><table><tr><td>a</td><td>"
          "<table><tr><td>x</td></tr></table>"

@@ -136,3 +136,19 @@ def test_pdf_seam_through_spark_fetch_stage(spark):
         assert spans[0] == ("section_header", "Engine Report", 0)
         assert len(spans) == 6
     assert out["bad"][0]["kind"] == "error"  # unparseable rows surfaced
+
+
+def test_literal_string_unescape_iso_32000():
+    """ISO 32000 7.3.4.2: \\b/\\f map to control chars, \\<EOL> is a line
+    continuation, and backslash before any other char is IGNORED (keeps
+    only the char — r3 ADVICE: '(\\8)' must decode to '8', not '\\\\8')."""
+    from high_performance_docling_spark.kernels.pdf_parse import _unescape
+
+    assert _unescape(rb"a\8b") == "a8b"
+    assert _unescape(rb"\q") == "q"
+    assert _unescape(rb"tab\there") == "tab\there"
+    assert _unescape(rb"back\bspace\ffeed") == "back\bspace\ffeed"
+    assert _unescape(b"line\\\ncont") == "linecont"
+    assert _unescape(b"line\\\r\ncont") == "linecont"
+    assert _unescape(rb"\101\102") == "AB"      # octal
+    assert _unescape(rb"\(paren\)") == "(paren)"
