@@ -1718,22 +1718,29 @@ def q_kmv_distinct_sketch(spark, sf_dir):
     ).cast("bigint")
     hashed = ev.select("event_type", h.alias("h")).distinct()
     w = W.partitionBy("event_type").orderBy("h")
+    # standard KMV estimator: if a group has fewer than k distinct hashes
+    # the sketch holds ALL of them and the count is known exactly — this
+    # keeps the query non-degenerate at tiny scale (r3 verdict: sf0.001
+    # had <k users per type, so the rn==k row never existed → 0 rows)
+    ranked = hashed.select(
+        "event_type", "h",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n_hashes"),
+    )
     kth = (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == k)
-        .select("event_type", F.col("h").alias("kth"))
+        ranked.filter(F.col("rn") == F.least(F.lit(k), F.col("n_hashes")))
+        .select("event_type", F.col("h").alias("kth"), "n_hashes")
     )
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact")
     )
+    est = F.when(
+        F.col("n_hashes") >= k,
+        F.round(F.lit(float(k - 1)) * F.lit(float(1 << 56)) / F.col("kth"), 4),
+    ).otherwise(F.col("n_hashes").cast("double"))
     return (
         kth.join(exact, "event_type")
-        .select(
-            "event_type",
-            F.round(F.lit(float(k - 1)) * F.lit(float(1 << 56)) / F.col("kth"), 4)
-            .alias("kmv_estimate"),
-            "n_exact",
-        )
+        .select("event_type", est.alias("kmv_estimate"), "n_exact")
         .orderBy("event_type")
     )
 
@@ -1745,17 +1752,20 @@ WITH hashed AS (
   FROM events
 ),
 kth AS (
-  SELECT event_type, h AS kth FROM (
+  SELECT event_type, h AS kth, n_hashes FROM (
     SELECT event_type, h,
-           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n_hashes
     FROM hashed
-  ) WHERE rn = 32
+  ) WHERE rn = least(32, n_hashes)
 ),
 exact AS (
   SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
 )
 SELECT event_type,
-       round(31.0::DOUBLE * 72057594037927936::DOUBLE / kth, 4) AS kmv_estimate,
+       CASE WHEN n_hashes >= 32
+            THEN round(31.0::DOUBLE * 72057594037927936::DOUBLE / kth, 4)
+            ELSE n_hashes::DOUBLE END AS kmv_estimate,
        n_exact
 FROM kth JOIN exact USING (event_type)
 ORDER BY event_type
@@ -2124,7 +2134,10 @@ def q_dedup_representatives(spark, sf_dir):
     the representative choice is meaningful, not one giant component."""
     docs = _t(spark, sf_dir, "documents")
     pairs = DD.simhash_band_pairs(DD.simhash(docs, bits=16), max_hamming=1)
-    comps = DD.connected_components(pairs)
+    # the O(log n) large-star/small-star variant is the default here so
+    # the flagship dedup composition's round count grows with log(n),
+    # not graph diameter (same min-id components, same oracle)
+    comps = DD.connected_components_star(pairs)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     q = docs.select(
         F.col("doc_id").alias("node"),
