@@ -4,7 +4,9 @@ The reference's _extract_figure_images (document_assembler.py:62-90)
 crops each PictureItem's bbox out of the rendered page image and stores
 it as an ImageRef. Here pages render through the deterministic bitmap
 stand-in (kernels/image_ops.py) and each picture element becomes one
-output row carrying the crop BYTES plus the same content-addressed
+output row carrying the crop as REAL PNG BYTES (kernels/png_codec.py —
+the reference stores PIL images; ours round-trip through an actual
+image format) plus the same content-addressed
 media_ref the span pipeline emits — so `extract_figures(...)` joins
 1:1 with the `media_ref`s in `extract_spans(...)` output (asserted in
 tests/test_training_ops.py).
@@ -26,6 +28,7 @@ from pyspark.sql import DataFrame, types as T
 
 from ..corpus import GenConfig, media_ref_for_crop, typeset
 from ..kernels.image_ops import RENDER_SCALE, crop_bitmap, render_page_bitmap
+from ..kernels.png_codec import encode_png
 from ..labels import PICTURE
 
 FIGURES_SCHEMA = T.StructType(
@@ -65,7 +68,7 @@ def extract_figures(docs_df: DataFrame, cfg: GenConfig) -> DataFrame:
                     )
                     for e in pics:
                         crop = crop_bitmap(img, [e.l, e.t, e.r, e.b], RENDER_SCALE)
-                        data = crop.tobytes()
+                        data = encode_png(crop)
                         rows.append(
                             {
                                 "doc_id": doc_id,

@@ -1,11 +1,15 @@
 """Multimodal (image/audio/video) column plumbing.
 
 Media travel as opaque ``binary`` columns with a typed metadata struct —
-the Spark-side schema/partitioning/UDF plumbing is real and tested; the
-actual codec decode is STUBBED (this container has no image/audio libs):
-``decode_media_batch`` computes deterministic byte-level features in
-place of pixel decoding, and raises ``NotImplementedError`` for the real
-codec path so a production deployment plugs PIL/ffmpeg into one function.
+the Spark-side schema/partitioning/UDF plumbing is real and tested. The
+IMAGE codec path is real: ``real_codecs=True`` decodes actual PNG bytes
+via the pure-Python codec (kernels/png_codec.py, stdlib zlib) and
+computes features over decoded PIXELS; ``synth_png_media`` builds a
+deterministic corpus of real PNG payloads for it. Audio/video decode
+remains the one stubbed seam (no ffmpeg in this container):
+``decode_media_batch`` raises ``NotImplementedError`` when a real-codec
+run meets an audio/video payload, so a production deployment plugs
+ffmpeg into exactly one function.
 
 Reference analogue: figure crops as content-addressed refs
 (document_assembler.py:62-90) and image batches through model stages
@@ -80,6 +84,40 @@ def synth_media(docs_df: DataFrame) -> DataFrame:
     )
 
 
+def synth_png_media(docs_df: DataFrame) -> DataFrame:
+    """Deterministic REAL-PNG media table: every row is an image whose
+    payload is actual PNG bytes (encode_png) of a doc_id-seeded gradient
+    bitmap sized from the same width/height formula as synth_media.
+    Arrow-batched mapInPandas — encoding is per-row Python-side work, but
+    it IS the codec (the thing being exercised), not plumbing."""
+    from ..kernels.png_codec import encode_png
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 640 + 16, did % 480 + 16
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = ((xx * 3 + yy * 7 + did) % 251).astype(np.uint8)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "media_type": "image",
+                        "payload": encode_png(img),
+                        "meta": {"width": w, "height": h,
+                                 "n_frames": None, "sample_rate": None},
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "payload", "meta"]
+            )
+
+    return docs_df.select("doc_id").mapInPandas(fn, MEDIA_SCHEMA)
+
+
 def _entropy(data: bytes) -> float:
     import math
 
@@ -96,12 +134,15 @@ def _entropy(data: bytes) -> float:
 
 def decode_media_batch(df: DataFrame, real_codecs: bool = False) -> DataFrame:
     """Vectorized 'decode / feature-extract / frame-sample' stage: one
-    Arrow batch of payloads in, one batch of features out. The real codec
-    path is intentionally unimplemented in this sandbox."""
-    if real_codecs:
-        raise NotImplementedError(
-            "real image/audio decode requires PIL/ffmpeg — not in this container"
-        )
+    Arrow batch of payloads in, one batch of features out.
+
+    ``real_codecs=False`` (the synthetic path) computes byte-level
+    features over the opaque payload. ``real_codecs=True`` DECODES image
+    payloads as real PNGs (kernels/png_codec.py) and computes the same
+    features over the decoded pixel array instead — n_bytes is the
+    decoded pixel-byte count, byte_mean/byte_entropy are pixel
+    statistics. Audio/video under real_codecs raise NotImplementedError
+    (the one remaining codec seam: no ffmpeg in this container)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -110,6 +151,15 @@ def decode_media_batch(df: DataFrame, real_codecs: bool = False) -> DataFrame:
                 pdf["media_id"], pdf["media_type"], pdf["payload"], pdf["meta"]
             ):
                 data = bytes(payload)
+                if real_codecs:
+                    if mtype != "image":
+                        raise NotImplementedError(
+                            "real audio/video decode requires ffmpeg — "
+                            "not in this container"
+                        )
+                    from ..kernels.png_codec import decode_png
+
+                    data = decode_png(data).tobytes()
                 n_frames = (meta or {}).get("n_frames") or 0
                 # frame sampling: every 10th frame, deterministic
                 frames = (
