@@ -2015,6 +2015,76 @@ FROM planted ORDER BY doc_id
 """
 
 
+def q_latexize_formulas(spark, sf_dir):
+    """Formula enrichment through the REAL batched enrichment stage
+    (kernels/enrichment.py): per document, a math-ish formula string is
+    composed from its first four tokens (exercising every rewrite-rule
+    family: sqrt, superscript, subscript, fraction, greek, comparators),
+    then rewritten to LaTeX by enrich_elements — the executor-local
+    batch-5 VLM-stand-in loop matching code_formula_model.py:282-326.
+    The oracle replays the shared Python-re ∩ RE2 rule chain
+    (LATEX_RULES) as a DuckDB regexp_replace chain. Scale shape: pure
+    Arrow-batched projection, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    formula = F.concat(
+        F.element_at(toks, 1), F.lit("^2 + x_n - "),
+        F.element_at(toks, 2), F.lit("/"), F.element_at(toks, 3),
+        F.lit(" <= alpha, sqrt("), F.element_at(toks, 4), F.lit(") -> inf"),
+    )
+    base = docs.filter(F.size(toks) >= 4).select(
+        "doc_id", formula.alias("formula")
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        from .kernels.enrichment import enrich_elements
+
+        for pdf in batches:
+            els = [{"label": "formula", "text": t} for t in pdf["formula"]]
+            enrich_elements(els)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "formula": pdf["formula"],
+                    "latex": [e["text"] for e in els],
+                }
+            )
+
+    return base.mapInPandas(
+        fn, "doc_id bigint, formula string, latex string"
+    ).orderBy("doc_id")
+
+
+def _latex_chain_sql(expr: str) -> str:
+    """Unroll LATEX_RULES into a nested DuckDB regexp_replace chain.
+    The rule table's `\\1` backrefs and `\\\\` literal-backslash escapes
+    are the shared Python-re ∩ RE2 replacement syntax, so the strings
+    embed verbatim (DuckDB single-quoted strings keep backslashes)."""
+    from .kernels.enrichment import LATEX_RULES
+
+    for pat, repl in LATEX_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+ORACLE_LATEXIZE_FORMULAS = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         toks[1] || '^2 + x_n - ' || toks[2] || '/' || toks[3] ||
+         ' <= alpha, sqrt(' || toks[4] || ') -> inf' AS formula
+  FROM t WHERE len(toks) >= 4
+)
+SELECT doc_id, formula, {_latex_chain_sql('formula')} AS latex
+FROM f ORDER BY doc_id
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark n-gram decontamination (the public GPT-3/FLAN recipe: a
     document sharing ANY 13-gram with the eval set is dropped). The
@@ -2394,6 +2464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_time_rollup": q_events_time_rollup,
     "kmv_distinct_sketch": q_kmv_distinct_sketch,
     "quantize_embeddings": q_quantize_embeddings,
+    "latexize_formulas": q_latexize_formulas,
 }
 
 ORACLES: dict[str, str] = {
@@ -2451,5 +2522,6 @@ ORACLES: dict[str, str] = {
     "events_time_rollup": ORACLE_EVENTS_TIME_ROLLUP,
     "kmv_distinct_sketch": ORACLE_KMV_DISTINCT,
     "quantize_embeddings": ORACLE_QUANTIZE_EMBEDDINGS,
+    "latexize_formulas": ORACLE_LATEXIZE_FORMULAS,
 }
 

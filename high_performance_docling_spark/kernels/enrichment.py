@@ -21,6 +21,37 @@ _CODE_LANG_RE = re.compile(r"^<_([^_>]+)_>\s(.*)", flags=re.DOTALL)
 
 ENRICH_BATCH_SIZE = 5  # code_formula_model.py:69
 
+# Deterministic LaTeX-izer rule table — the stand-in for the CodeFormula
+# VLM's formula rewrite (code_formula_model.py:282-326 sets
+# item.text = model output; here the "model" is this ordered rewrite
+# chain). Patterns AND replacements are the shared Python-re ∩ RE2
+# subset (`\1` backrefs, `\\` literal backslash) so the DuckDB oracle
+# replays the chain byte-for-byte. Order matters: sqrt before frac (its
+# parens would break the frac token match), sup/sub before frac (frac
+# braces would mask the ^/_ sites).
+LATEX_RULES: list[tuple[str, str]] = [
+    (r"\bsqrt\((\w+)\)", r"\\sqrt{\1}"),
+    (r"\^(\w+)", r"^{\1}"),
+    (r"\b([A-Za-z])_(\w+)", r"\1_{\2}"),
+    (r"\b(\w+) */ *(\w+)\b", r"\\frac{\1}{\2}"),
+    (r"\b(alpha|beta|gamma|delta|theta|lambda|mu|pi|sigma|phi|omega)\b",
+     r"\\\1"),
+    (r"\b(sin|cos|tan|log|exp|lim|sum|prod)\b", r"\\\1"),
+    (r"<=", r"\\leq"),
+    (r">=", r"\\geq"),
+    (r"!=", r"\\neq"),
+    (r"->", r"\\to"),
+    (r"\binf\b", r"\\infty"),
+]
+_LATEX_COMPILED = [(re.compile(p), r) for p, r in LATEX_RULES]
+
+
+def latexize_formula(text: str) -> str:
+    """Formula text → LaTeX via the deterministic rule chain."""
+    for rx, repl in _LATEX_COMPILED:
+        text = rx.sub(repl, text)
+    return text
+
 
 def extract_code_language(text: str) -> tuple[str, Optional[str]]:
     """``<_lang_> body`` → (body, lang); otherwise (text, None)."""
@@ -62,6 +93,11 @@ class SynthEnrichmentModel:
                 el["text"] = body
                 if lang is not None:
                     el["code_language"] = lang
+            elif el["label"] == "formula":
+                # the reference's VLM rewrites formula text to LaTeX and
+                # stores it back on the item (code_formula_model.py:326);
+                # the deterministic rule chain is our model output
+                el["text"] = latexize_formula(el.get("text") or "")
         return batch
 
 
@@ -82,14 +118,22 @@ def _enrich_model_spec():
     return _ENRICH_MODEL_SPEC
 
 
-def enrich_elements(elements: list[dict[str, Any]]) -> list[dict[str, Any]]:
+def enrich_elements(
+    elements: list[dict[str, Any]], stats: dict | None = None
+) -> list[dict[str, Any]]:
     """Batched enrichment pass over code/formula elements through the
     model harness (executor-local singleton, fixed batch-5 chunks): parses
-    the code-language prefix into ``code_language``; the VLM rewrite is
-    the identity in this sandbox. Mutates and returns the element list."""
+    the code-language prefix into ``code_language`` and rewrites formula
+    text to LaTeX via the deterministic rule chain (the VLM stand-in).
+    Mutates and returns the element list."""
     from ..operators.model_harness import FixedBatcher
 
     work = [e for e in elements if e.get("label") in ("code", "formula")]
     if work:
-        FixedBatcher(_enrich_model_spec(), SynthEnrichmentModel.enrich_batch).run(work)
+        batcher = FixedBatcher(
+            _enrich_model_spec(), SynthEnrichmentModel.enrich_batch
+        )
+        batcher.run(work)
+        if stats is not None:
+            stats["n_forward_calls"] = batcher.n_forward_calls
     return elements

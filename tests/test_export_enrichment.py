@@ -30,6 +30,54 @@ def test_enrich_elements_batch():
     assert "code_language" not in out[2]
 
 
+def test_latexize_rule_families():
+    from high_performance_docling_spark.kernels.enrichment import (
+        latexize_formula,
+    )
+
+    assert latexize_formula("sqrt(x)") == r"\sqrt{x}"
+    assert latexize_formula("x^2") == "x^{2}"
+    assert latexize_formula("a_i") == "a_{i}"
+    assert latexize_formula("p/q") == r"\frac{p}{q}"
+    assert latexize_formula("alpha + beta") == r"\alpha + \beta"
+    assert latexize_formula("sin y") == r"\sin y"
+    assert latexize_formula("a <= b >= c != d -> inf") == \
+        r"a \leq b \geq c \neq d \to \infty"
+    # composition, rule order: sup/sub convert before frac braces mask them
+    assert latexize_formula("v^2 + x_n - p/q <= alpha, sqrt(w) -> inf") == \
+        r"v^{2} + x_{n} - \frac{p}{q} \leq \alpha, \sqrt{w} \to \infty"
+
+
+def test_enrich_formula_golden_and_batch_accounting():
+    """Enrichment goldens: frozen LaTeX outputs for a fixture batch, and
+    the harness must make exactly ceil(n/5) forwards (batch-5 loop,
+    code_formula_model.py:69)."""
+    import json
+    import pathlib
+
+    from high_performance_docling_spark.kernels import enrichment as EN
+
+    fixtures = [
+        "E = m c^2",
+        "x_i <= sqrt(b) / gamma",
+        "sum k^2 -> inf",
+        "delta != epsilon",           # epsilon not in rule table: kept
+        "<_py_> f(x)",                # formula label: prefix NOT stripped
+        "pi r^2",
+        "a/b + c/d",
+    ]
+    els = [{"label": "formula", "text": t} for t in fixtures]
+    stats = {}
+    out = EN.enrich_elements(els, stats=stats)
+    # batch accounting: 7 elements through the batch-5 loop = 2 forwards
+    assert stats["n_forward_calls"] == 2
+    golden_path = pathlib.Path(__file__).parent / "goldens" / "enrichment.json"
+    got = [e["text"] for e in out]
+    if not golden_path.exists():
+        golden_path.write_text(json.dumps(got, indent=1))
+    assert got == json.loads(golden_path.read_text())
+
+
 def test_most_frequent_edge_color():
     import numpy as np
 
