@@ -86,6 +86,14 @@ class GenConfig:
     # "xycut" = recursive XY-cut. The generator validates two-column
     # layouts against BOTH so either mode round-trips exactly.
     reading_order_mode: str = "rb"
+    # Layout-detection model for the staged path: "synth" replays
+    # ground-truth boxes + recoverable noise; "conv" runs the real-math
+    # conv detector (kernels/toy_models.ConvLayoutDetector) — a genuine
+    # float32-NCHW forward whose post-process recovers boxes to ~1e-6 pt
+    # from pixel coverage. "conv" requires ocr_frac == 0: the synthetic
+    # OCR text lookup keys on bit-exact geometry, which survives the
+    # synth replay but not float32 pixel quantization.
+    detector: str = "synth"
 
 
 # --------------------------------------------------------------------------

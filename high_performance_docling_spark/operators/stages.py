@@ -162,27 +162,54 @@ def detect_stage(parsed_df, cfg: GenConfig, lineage_dir: str | None = None,
     Runs through the generic model harness: executor-local lazy singleton
     detector, pages accumulated across Arrow record batches into
     fixed-size ``batch_size`` model calls, tail padded by repeating the
-    last page (layout_predictor_gpu.py:267-275 semantics)."""
-    spec = ModelSpec(
-        name=f"synth-layout-detector:{cfg!r}",  # full cfg: any field changes detector behavior
-        loader=lambda: SynthLayoutDetector(cfg),
-        batch_size=batch_size,
-        pad_by_repeat=True,  # a CUDA-graph model needs static batch shape
-    )
+    last page (layout_predictor_gpu.py:267-275 semantics).
 
-    def item_fn(row: dict) -> tuple[str, TypesetPage]:
-        page = TypesetPage(
-            page_no=int(row["page_no"]),
-            width=float(row["width"]),
-            height=float(row["height"]),
-            cells=[],
-            elements=[element_from_dict(d, int(row["page_no"]))
-                      for d in row["elements"]],
+    ``cfg.detector`` selects the model behind the UNCHANGED harness:
+    "synth" replays ground-truth boxes + recoverable noise; "conv" runs
+    the real-math conv detector — each page renders to a float32 CHW
+    raster in item_fn, pad-by-repeat repeats actual image tensors, and
+    one NCHW batch flows through a genuine convolution forward per
+    ⌈N/batch_size⌉ calls (kernels/toy_models.ConvLayoutDetector)."""
+    if cfg.detector == "conv":
+        from ..kernels.toy_models import ConvLayoutDetector
+
+        spec = ModelSpec(
+            name="conv-layout-detector",
+            loader=ConvLayoutDetector,
+            batch_size=batch_size,
+            pad_by_repeat=True,
         )
-        return (row["doc_id"], page)
 
-    def forward(model: SynthLayoutDetector, items: list) -> list:
-        return model.predict_batch(items)
+        def item_fn(row: dict):
+            from ..kernels.toy_models import render_detect_input
+
+            return render_detect_input(
+                float(row["width"]), float(row["height"]), row["elements"]
+            )
+
+        def forward(model, items: list) -> list:
+            return model.predict_batch(items)
+    else:
+        spec = ModelSpec(
+            name=f"synth-layout-detector:{cfg!r}",  # full cfg: any field changes detector behavior
+            loader=lambda: SynthLayoutDetector(cfg),
+            batch_size=batch_size,
+            pad_by_repeat=True,  # a CUDA-graph model needs static batch shape
+        )
+
+        def item_fn(row: dict) -> tuple[str, TypesetPage]:
+            page = TypesetPage(
+                page_no=int(row["page_no"]),
+                width=float(row["width"]),
+                height=float(row["height"]),
+                cells=[],
+                elements=[element_from_dict(d, int(row["page_no"]))
+                          for d in row["elements"]],
+            )
+            return (row["doc_id"], page)
+
+        def forward(model: SynthLayoutDetector, items: list) -> list:
+            return model.predict_batch(items)
 
     def result_fn(row: dict, dets: list[dict]) -> dict:
         return {
