@@ -75,12 +75,15 @@ class GenConfig:
     ocr_frac: float = 0.0
     keep_empty_clusters: bool = False
     # Reading-order extras (readingorder_model.py predict_merges +
-    # ListItemMarkerProcessor): off by default — the synthetic corpus
-    # writes pre-normalized list items and unsplit paragraphs. Enable on
-    # corpora with marker'd lists / cross-boundary paragraph splits
-    # (tests/test_reading_order.py golden fixtures exercise both).
-    enable_merges: bool = False
-    process_list_markers: bool = False
+    # ListItemMarkerProcessor), ON by default — the corpus generator
+    # emits what they consume: text paragraphs end with terminal
+    # punctuation and SPLIT across column/page boundaries when they
+    # don't fit (typeset carries the remainder, possibly hyphenated,
+    # to the next column — the cross-boundary continuation the merge
+    # predictor re-joins), and list items typeset with a per-document
+    # marker the ListItemMarkerProcessor strips back off.
+    enable_merges: bool = True
+    process_list_markers: bool = True
     # Per-page ordering algorithm: "rb" = predictor-style precedence
     # graph (default, the reference's reading_order_rb analogue),
     # "xycut" = recursive XY-cut. The generator validates two-column
@@ -169,7 +172,18 @@ def gen_doc_spans(cfg: GenConfig, doc_index: int) -> list[dict[str, Any]]:
             continue
         roll = rng.random()
         if roll < 0.42:
-            add(L.TEXT, "\n".join(_make_lines(rng, rng.randint(1, 5), (4, 8))))
+            # terminal '.' makes regular paragraphs merge-proof: the
+            # merge predictor only joins continuations whose first part
+            # lacks sentence-terminal punctuation (split parts, below).
+            # ~1 in 5 paragraphs is long, so column/page boundaries
+            # regularly split one (the cross-boundary merge exercise).
+            n_lines = (
+                rng.randint(6, 12) if rng.random() < 0.2
+                else rng.randint(1, 5)
+            )
+            lines = _make_lines(rng, n_lines, (4, 8))
+            lines[-1] += "."
+            add(L.TEXT, "\n".join(lines))
         elif roll < 0.54:
             add(L.SECTION_HEADER, " ".join(_words(rng, rng.randint(2, 5))))
         elif roll < 0.68:
@@ -274,6 +288,22 @@ def typeset(doc_id: str, spans: list[dict[str, Any]], cfg: GenConfig) -> list[Ty
             i += 1
         blocks.append(group)
 
+    # list-item marker style, one per document (ListItemMarkerProcessor
+    # strips it back off downstream); "" disables marker typesetting
+    marker = (
+        random.Random(f"{cfg.seed}:{doc_id}:marker").choice(("- ", "• ", "* "))
+        if cfg.process_list_markers
+        else ""
+    )
+
+    def rendered_lines(ix: int) -> list[str]:
+        """Span text → typeset lines (list items carry the doc marker)."""
+        sp = spans[ix]
+        lines = sp["text"].split("\n")
+        if marker and sp["kind"] == L.LIST_ITEM:
+            lines = [marker + lines[0]] + lines[1:]
+        return lines
+
     def block_height(group: list[int], col_w: float) -> float:
         h = 0.0
         for k, ix in enumerate(group):
@@ -352,28 +382,43 @@ def typeset(doc_id: str, spans: list[dict[str, Any]], cfg: GenConfig) -> list[Ty
                     # blank cells: the parse backend "sees" no text here
                     lines = [""] * int(sp["media_ref"][5:])
                 else:
-                    lines = sp["text"].split("\n")
-                el = TypesetElement(ix, kind, page.page_no, x0, y, x0, y,
-                                    scanned=scanned)
-                for li, line in enumerate(lines):
-                    w = _line_width(line, col_w, li == len(lines) - 1, rng)
-                    cell = {
-                        "index": len(page.cells),
-                        "text": line,
-                        "l": x0, "t": y, "r": x0 + w, "b": y + LINE_H,
-                        "from_ocr": False, "confidence": 1.0,
-                    }
-                    page.cells.append(cell)
-                    el.cell_ixs.append(cell["index"])
-                    y += LEADING
-                y -= LEADING - LINE_H  # element bottom = last line bottom
-                el.l = x0
-                el.r = max(page.cells[c]["r"] for c in el.cell_ixs)
-                el.b = y
-                el.lines = lines
-                page.elements.append(el)
+                    lines = rendered_lines(ix)
+                y = place_lines(page, ix, kind, lines, x0, col_w, y, rng,
+                                scanned=scanned)
             y += ATTACH_GAP if k + 1 < len(group) else 0.0
         return y
+
+    def place_lines(page: TypesetPage, ix: int, kind: str, lines: list[str],
+                    x0: float, col_w: float, y: float, rng: random.Random,
+                    scanned: bool = False) -> float:
+        el = TypesetElement(ix, kind, page.page_no, x0, y, x0, y,
+                            scanned=scanned)
+        for li, line in enumerate(lines):
+            w = _line_width(line, col_w, li == len(lines) - 1, rng)
+            cell = {
+                "index": len(page.cells),
+                "text": line,
+                "l": x0, "t": y, "r": x0 + w, "b": y + LINE_H,
+                "from_ocr": False, "confidence": 1.0,
+            }
+            page.cells.append(cell)
+            el.cell_ixs.append(cell["index"])
+            y += LEADING
+        y -= LEADING - LINE_H  # element bottom = last line bottom
+        el.l = x0
+        el.r = max(page.cells[c]["r"] for c in el.cell_ixs)
+        el.b = y
+        el.lines = lines
+        page.elements.append(el)
+        return y
+
+    def place_text_part(page: TypesetPage, ix: int, x0: float, col_w: float,
+                        y: float, start: int, end: int) -> float:
+        """One PART of a split paragraph — its own element, same span_ix;
+        the merge predictor re-joins the parts downstream."""
+        rng = random.Random(f"{cfg.seed}:{doc_id}:p{page.page_no}:b{ix}:s{start}")
+        return place_lines(page, ix, spans[ix]["kind"],
+                           rendered_lines(ix)[start:end], x0, col_w, y, rng)
 
     def page_flow_ok(page: TypesetPage) -> bool:
         """Check XY-cut returns flow order for this page's elements."""
@@ -388,30 +433,79 @@ def typeset(doc_id: str, spans: list[dict[str, Any]], cfg: GenConfig) -> list[Ty
             and predict_reading_order(els, mode="xycut") == flow
         )
 
+    def fill_column(page: TypesetPage, x0: float, col_w: float, cur: int,
+                    carry: tuple[int, int] | None):
+        """Fill one column top to bottom. ``carry`` = (span_ix,
+        start_line) of a paragraph remainder from the previous column /
+        page; it places FIRST (flow order). A plain multi-line TEXT
+        block that doesn't fit splits when ≥2 lines fit here and ≥2
+        remain (≥2 keeps both parts on sanitize_text's multi-line path,
+        whose unicode normalization a 1-line element skips). Returns the
+        advanced (cur, carry)."""
+        y = BODY_TOP
+        while True:
+            if carry is not None:
+                ix, start = carry
+                m = len(rendered_lines(ix)) - start
+                k_max = int((BODY_BOTTOM - y) // LEADING)
+                if m <= k_max:
+                    y = place_text_part(page, ix, x0, col_w, y, start,
+                                        start + m)
+                    y += PARA_GAP
+                    carry = None
+                    continue
+                if k_max >= 2 and m >= 4:
+                    k_fit = min(k_max, m - 2)
+                    place_text_part(page, ix, x0, col_w, y, start,
+                                    start + k_fit)
+                    carry = (ix, start + k_fit)
+                elif y == BODY_TOP:  # tiny column remnant: place whole
+                    place_text_part(page, ix, x0, col_w, y, start, start + m)
+                    carry = None
+                return cur, carry
+            if cur >= len(blocks):
+                return cur, carry
+            group = blocks[cur]
+            h = block_height(group, col_w)
+            if y > BODY_TOP and y + h > BODY_BOTTOM:
+                sp = spans[group[0]]
+                if (
+                    cfg.enable_merges
+                    and len(group) == 1
+                    and sp["kind"] == L.TEXT
+                    and not sp["media_ref"].startswith("scan:")
+                ):
+                    n = len(rendered_lines(group[0]))
+                    k_max = int((BODY_BOTTOM - y) // LEADING)
+                    if n >= 4 and 2 <= k_max < n:
+                        k_fit = min(k_max, n - 2)
+                        place_text_part(page, group[0], x0, col_w, y, 0,
+                                        k_fit)
+                        carry = (group[0], k_fit)
+                        cur += 1
+                return cur, carry
+            y = place_block(page, group, x0, col_w, y)
+            y += PARA_GAP
+            cur += 1
+
     bi = 0
+    carry: tuple[int, int] | None = None
     page_no = 0
-    while bi < len(blocks):
+    while bi < len(blocks) or carry is not None:
         for attempt_cols in (2 if style.random() < cfg.two_col_frac else 1, 1):
             page = TypesetPage(page_no, PAGE_W, PAGE_H)
-            cur = bi
+            cur, cur_carry = bi, carry
             if attempt_cols == 1:
                 col_xs = [(MARGIN, PAGE_W - 2 * MARGIN)]
             else:
                 cw = (PAGE_W - 2 * MARGIN - COL_GAP) / 2
                 col_xs = [(MARGIN, cw), (MARGIN + cw + COL_GAP, cw)]
             for (x0, col_w) in col_xs:
-                y = BODY_TOP
-                while cur < len(blocks):
-                    h = block_height(blocks[cur], col_w)
-                    if y > BODY_TOP and y + h > BODY_BOTTOM:
-                        break
-                    y = place_block(page, blocks[cur], x0, col_w, y)
-                    y += PARA_GAP
-                    cur += 1
-                if cur >= len(blocks):
+                cur, cur_carry = fill_column(page, x0, col_w, cur, cur_carry)
+                if cur >= len(blocks) and cur_carry is None:
                     break
             if attempt_cols == 1 or page_flow_ok(page):
-                bi = cur
+                bi, carry = cur, cur_carry
                 pages.append(page)
                 break
             # else: retry same blocks as single column

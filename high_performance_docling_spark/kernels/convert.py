@@ -32,9 +32,11 @@ def synth_ocr_text(doc_id: str, page_no: int, l: float, t: float, r: float, b: f
     """Deterministic stand-in for TrOCR: the 'recognized' text is a pure
     function of the crop identity, so the corpus generator and the OCR
     stage agree exactly."""
+    # terminal '.' keeps OCR'd text merge-proof: predict_merges must
+    # never chain a scanned region into the following paragraph
     return (
         f"scanned region {int(round(l))} {int(round(t))} "
-        f"{int(round(r))} {int(round(b))} of {doc_id} p{page_no}"
+        f"{int(round(r))} {int(round(b))} of {doc_id} p{page_no}."
     )
 
 

@@ -305,10 +305,10 @@ def predict_merges(
     different columns or on different pages, the first doesn't end with
     sentence-terminal punctuation, and the continuation starts lowercase.
 
-    NOTE: disabled by default in this engine (``assemble_spans(...,
-    enable_merges=False)``) — the synthetic corpus has no
-    punctuation-realistic paragraph breaks, so the heuristic would merge
-    unrelated blocks; enable for real-document corpora."""
+    ON by default (GenConfig.enable_merges=True): the corpus generator
+    terminates regular paragraphs with '.' (merge-proof) and splits long
+    paragraphs across column/page boundaries, so exactly the deliberate
+    continuations merge back."""
     merges: dict[int, list[int]] = {}
     merged_into: dict[int, int] = {}
     for prev_cid, next_cid in zip(ordered_cids, ordered_cids[1:]):
@@ -352,8 +352,9 @@ def assemble_spans(
     ``process_list_markers`` runs the list-marker normalizer
     (readingorder_model.py:15-17 ListItemMarkerProcessor role): marker'd
     text becomes ``list_item`` with the marker stripped, marker-only boxes
-    merge forward, consecutive items group. Off by default — the synthetic
-    corpus writes its list items pre-normalized.
+    merge forward, consecutive items group. ON by default — typeset
+    prepends a per-document marker to list items, and this stage strips
+    it back off (GenConfig.process_list_markers).
     """
     by_cid = {el["cid"]: el for el in elements}
     ordered = predict_reading_order(elements, mode=reading_order_mode)
@@ -390,7 +391,14 @@ def assemble_spans(
         el = by_cid[cid]
         text = el.get("text") or ""
         for merged_cid in merges.get(cid, ()):  # _merge_elements :351
-            text += " " + (by_cid[merged_cid].get("text") or "")
+            nxt = by_cid[merged_cid].get("text") or ""
+            if text.endswith("-"):
+                # hyphenated continuation: de-hyphenate across the
+                # boundary (the same rule sanitize_text applies to
+                # intra-element line breaks)
+                text = text[:-1] + nxt
+            else:
+                text += " " + nxt
         emit(el["label"], text, el.get("media_ref") or "")
         for child in el.get("children") or []:
             emit(child["label"], child.get("text") or "", child.get("media_ref") or "")

@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Regenerate the frozen golden fixtures (tests/goldens/*.json) after a
+DELIBERATE corpus/kernel semantics change. The formats mirror what
+tests/test_regression_golden.py asserts; run the suite afterwards —
+goldens are only as good as the review of their diff."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from high_performance_docling_spark.corpus import (  # noqa: E402
+    GenConfig,
+    generate_doc,
+    synth_detections,
+    typeset,
+)
+from high_performance_docling_spark.kernels.layout_postprocess import (  # noqa: E402
+    postprocess_page,
+)
+from high_performance_docling_spark.kernels.table_decode import (  # noqa: E402
+    table_structure_for_tokens,
+)
+from high_performance_docling_spark.oracle import extract_doc_spans  # noqa: E402
+from high_performance_docling_spark.testing.regression import (  # noqa: E402
+    canonical_layout,
+    spans_hash,
+    table_hash,
+)
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "..", "tests", "goldens")
+
+
+def regen_spans() -> None:
+    cfg = GenConfig(seed=42, n_docs=10)
+    out = {}
+    for i in range(10):
+        d = generate_doc(cfg, i)
+        spans = extract_doc_spans(d["doc_id"], d["spans"], cfg)
+        out[d["doc_id"]] = {
+            "n_spans": len(spans),
+            "hash": spans_hash(spans),
+            "spans": [
+                {"kind": s["kind"], "text": s["text"],
+                 "media_ref": s["media_ref"], "order": s["order"]}
+                for s in spans
+            ],
+        }
+    with open(os.path.join(GOLDEN_DIR, "spans_seed42.json"), "w") as f:
+        json.dump(out, f, indent=1, ensure_ascii=False)
+    print(f"spans_seed42.json: {len(out)} docs")
+
+
+def regen_layout_and_tables() -> None:
+    cfg = GenConfig(seed=42, n_docs=6)
+    layout, tables = {}, {}
+    for i in range(6):
+        d = generate_doc(cfg, i)
+        for p in typeset(d["doc_id"], d["spans"], cfg)[:2]:
+            dets = synth_detections(d["doc_id"], p, cfg)
+            clusters = postprocess_page(p.width, p.height, p.cells, dets)
+            layout[f"{d['doc_id']}:p{p.page_no}"] = canonical_layout(clusters)
+            for cl in clusters:
+                if cl["label"] in ("table", "document_index") and cl["cells"]:
+                    toks = [
+                        {"id": c["index"], "text": c["text"],
+                         "bbox": [c["l"], c["t"], c["r"], c["b"]]}
+                        for c in cl["cells"]
+                    ]
+                    res = table_structure_for_tokens(
+                        [cl["l"], cl["t"], cl["r"], cl["b"]], toks
+                    )
+                    if res is None:
+                        continue
+                    tables[f"{d['doc_id']}:p{p.page_no}:c{cl['id']}"] = {
+                        "hash": table_hash(res["tf_cells"]),
+                        "num_rows": res["num_rows"],
+                        "num_cols": res["num_cols"],
+                    }
+    with open(os.path.join(GOLDEN_DIR, "layout_seed42.json"), "w") as f:
+        json.dump(layout, f, indent=1, ensure_ascii=False)
+    with open(os.path.join(GOLDEN_DIR, "tables_seed42.json"), "w") as f:
+        json.dump(tables, f, indent=1, ensure_ascii=False)
+    print(f"layout_seed42.json: {len(layout)} pages")
+    print(f"tables_seed42.json: {len(tables)} tables")
+
+
+if __name__ == "__main__":
+    regen_spans()
+    regen_layout_and_tables()

@@ -53,6 +53,45 @@ def test_noisy_extraction_deterministic_and_recovers():
                 )
 
 
+def test_default_corpus_exercises_merges_and_markers():
+    """The default-ON reading-order extras must not be vacuous: the
+    noise-free round-trip corpus contains split paragraphs (two elements
+    sharing a span_ix, re-joined by predict_merges) and marker'd list
+    items (typeset with a marker the processor strips back off)."""
+    from collections import Counter
+
+    from high_performance_docling_spark.corpus import typeset
+
+    cfg = GenConfig(seed=7, n_docs=20, noise=False)
+    n_split = n_marker = n_hyphen_split = 0
+    for i in range(cfg.n_docs):
+        d = generate_doc(cfg, i)
+        spans = sorted(d["spans"], key=lambda s: s["offset"])
+        seen = Counter()
+        parts = {}
+        for page in typeset(d["doc_id"], spans, cfg):
+            for el in page.elements:
+                if el.span_ix >= 0 and el.label == L.TEXT and not el.scanned:
+                    seen[el.span_ix] += 1
+                    parts.setdefault(el.span_ix, []).append(el)
+                if el.label == L.LIST_ITEM and el.lines \
+                        and el.lines[0][:2] in ("- ", "• ", "* "):
+                    n_marker += 1
+        for ix, cnt in seen.items():
+            if cnt > 1:
+                n_split += 1
+                # split parts keep >=2 lines each (sanitize invariant)
+                assert all(len(p.lines) >= 2 for p in parts[ix]), (i, ix)
+                if parts[ix][0].lines[-1].endswith("-"):
+                    n_hyphen_split += 1
+        # ...and the round-trip still holds for this doc (redundant with
+        # test_noise_free_roundtrip_exact but pinned here for THIS seed)
+        out = extract_doc_spans(d["doc_id"], d["spans"], cfg)
+        assert len(out) == len(d["spans"])
+    assert n_split > 0, "no paragraph ever split: merge path is vacuous"
+    assert n_marker > 0, "no marker'd list items typeset"
+
+
 def test_generation_deterministic():
     cfg = GenConfig(seed=42, n_docs=3)
     assert [generate_doc(cfg, i) for i in range(3)] == [
