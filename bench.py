@@ -25,7 +25,15 @@ Nothing about the sampling depends on the gate outcome.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), BENCH_DOCS (default 38400),
-BENCH_SAMPLES (default 5), BENCH_SKIP_SCALING=1 to skip the scaling pair.
+BENCH_SAMPLES (default 5), BENCH_SKIP_SCALING=1 to skip the scaling pair,
+BENCH_SF1_DOCS (default 384000; 0 skips) for the sf1 skew-stress leg.
+
+The sf1 leg (VERDICT r3 #5) scale-stresses skew: ~10x the primary corpus
+with a HEAVIER mega-doc tail (mega_frac 0.04, mega_pages 32), single
+timed sample per cadence point (clearly labeled — the statistical gate
+stays the sf0.1 median-of-k), plus the per-partition task-time spread
+from the fused stage's lineage rows (max/median ratio — the straggler
+metric salting must keep < 2).
 """
 
 from __future__ import annotations
@@ -45,6 +53,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("BENCH_DOCS", "38400"))
 K_SAMPLES = int(os.environ.get("BENCH_SAMPLES", "5"))
+SF1_DOCS = int(os.environ.get("BENCH_SF1_DOCS", "384000"))
 CACHE = os.path.join(REPO, ".bench_cache")
 
 BENCH_QUERIES = [
@@ -65,58 +74,96 @@ def _session(cores: int, app: str):
                      shuffle_partitions=max(16, cores * 2))
 
 
-def _corpus_path() -> str:
-    return os.path.join(CACHE, f"docs_seed42_n{N_DOCS}")
+def _corpus_path(variant: str = "sf0") -> str:
+    n = SF1_DOCS if variant == "sf1" else N_DOCS
+    return os.path.join(CACHE, f"docs_{variant}_n{n}")
 
 
-def _gen_cfg():
+def _gen_cfg(variant: str = "sf0"):
     from high_performance_docling_spark.corpus import GenConfig
 
+    if variant == "sf1":
+        # skew-stress corpus: 2x the mega-doc fraction, taller mega docs
+        return GenConfig(seed=43, n_docs=SF1_DOCS, mega_frac=0.04,
+                         mega_pages=32)
     return GenConfig(seed=42, n_docs=N_DOCS, mega_frac=0.02, mega_pages=24)
 
 
-def _ensure_corpus(spark) -> str:
+def _ensure_corpus(spark, variant: str = "sf0") -> str:
     from high_performance_docling_spark.pipeline import docs_dataframe
 
-    path = _corpus_path()
+    path = _corpus_path(variant)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        docs_dataframe(spark, _gen_cfg(), num_partitions=max(32, CPUS * 2)).write.mode(
+        docs_dataframe(spark, _gen_cfg(variant),
+                       num_partitions=max(32, CPUS * 2)).write.mode(
             "overwrite"
         ).parquet(path)
     return path
 
 
-def _extract(spark, docs_df) -> None:
+def _extract(spark, docs_df, variant: str = "sf0",
+             lineage_dir: str | None = None) -> None:
     from high_performance_docling_spark.pipeline import extract_spans
 
-    extract_spans(spark, docs_df, _gen_cfg()).write.mode("overwrite").format(
+    extract_spans(spark, docs_df, _gen_cfg(variant),
+                  lineage_dir=lineage_dir).write.mode("overwrite").format(
         "noop"
     ).save()
 
 
-def child_extract(cores: int, k: int) -> None:
+def child_extract(cores: int, k: int, variant: str = "sf0",
+                  lineage_dir: str | None = None) -> None:
     """Subprocess mode: warm, then take exactly ``k`` timed extraction
     samples at the given core count. Prints every sample on one line —
-    the parent computes the median; NO adaptive stopping here."""
+    the parent computes the median; NO adaptive stopping here. When
+    ``lineage_dir`` is given, the LAST timed sample also writes
+    per-partition per-phase lineage rows (task-time spread evidence)."""
     spark = _session(cores, f"bench-extract-{cores}")
-    docs = spark.read.parquet(_corpus_path())
+    docs = spark.read.parquet(_corpus_path(variant))
     # warm python workers on EVERY partition (limit() would collapse to one
     # partition and leave the other workers to cold-start inside the timed
     # run) + codegen
-    _extract(spark, docs.sample(False, 0.12, seed=7))
+    _extract(spark, docs.sample(False, 0.12, seed=7), variant)
     samples = []
-    for _ in range(k):
+    for i in range(k):
+        ld = lineage_dir if i == k - 1 else None
         t0 = time.monotonic()
-        _extract(spark, docs)
+        _extract(spark, docs, variant, lineage_dir=ld)
         samples.append(time.monotonic() - t0)
     print("EXTRACT_SAMPLES " + " ".join(f"{s:.3f}" for s in samples))
     spark.stop()
 
 
-def _run_pinned(cores: int, k: int) -> list[float]:
+def _task_time_spread(lineage_dir: str) -> dict:
+    """Per-partition total wall ms from the fused stage's lineage rows →
+    the straggler metric (max / median across partitions)."""
+    import statistics as st
+    from collections import defaultdict
+
+    per_part: dict[int, float] = defaultdict(float)
+    for fname in os.listdir(lineage_dir):
+        if not fname.endswith(".jsonl"):
+            continue
+        with open(os.path.join(lineage_dir, fname)) as f:
+            for line in f:
+                row = json.loads(line)
+                per_part[row["partition_id"]] += row["wall_ms"]
+    walls = sorted(per_part.values())
+    med = st.median(walls)
+    return {
+        "partitions": len(walls),
+        "task_ms_median": round(med, 1),
+        "task_ms_max": round(walls[-1], 1),
+        "task_time_max_over_median": round(walls[-1] / med, 3) if med else None,
+    }
+
+
+def _run_pinned(cores: int, k: int, variant: str = "sf0",
+                lineage_dir: str | None = None) -> list[float]:
     cmd = [
         sys.executable, os.path.abspath(__file__),
-        "--extract-child", str(cores), str(k),
+        "--extract-child", str(cores), str(k), variant,
+        lineage_dir or "-",
     ]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
@@ -168,6 +215,36 @@ def main() -> None:
         docs_s_n = N_DOCS / t_n
         efficiency = (docs_s_4n / docs_s_n) / (big / small)
 
+    # 2b. sf1 skew-stress leg (single sample per point, labeled as such —
+    #     the statistical gate remains the sf0.1 median-of-k above)
+    sf1 = None
+    if SF1_DOCS > 0:
+        spark = _session(CPUS, "bench-sf1-corpus")
+        _ensure_corpus(spark, "sf1")
+        spark.stop()
+        time.sleep(3)
+        ldir = os.path.join(CACHE, "sf1_lineage")
+        shutil.rmtree(ldir, ignore_errors=True)
+        t_full1 = _run_pinned(CPUS, 1, "sf1", lineage_dir=ldir)[0]
+        time.sleep(3)
+        t_big1 = _run_pinned(big, 1, "sf1")[0]
+        time.sleep(3)
+        t_small1 = _run_pinned(small, 1, "sf1")[0]
+        sf1 = {
+            "docs": SF1_DOCS,
+            "mega_frac": 0.04,
+            "mega_pages": 32,
+            "stat": "single sample per point (stress leg, not the gate)",
+            "secs": {"full": round(t_full1, 3), f"{big}cores": round(t_big1, 3),
+                     f"{small}cores": round(t_small1, 3)},
+            "docs_per_sec_full_width": round(SF1_DOCS / t_full1, 2),
+            "docs_per_sec_4N": round(SF1_DOCS / t_big1, 2),
+            "docs_per_sec_N": round(SF1_DOCS / t_small1, 2),
+            "scaling_efficiency_N_to_4N": round(
+                (t_small1 / t_big1) / (big / small), 3),
+            "task_time_spread": _task_time_spread(ldir),
+        }
+
     # 3. headline query suite (own session; first run warms codegen)
     time.sleep(3)
     spark = _session(CPUS, "bench-queries")
@@ -217,12 +294,18 @@ def main() -> None:
         "cores_full": CPUS,
         "cores_4N": big,
         "cores_N": small,
+        "sf1_skew_leg": sf1,
     }
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--extract-child":
-        child_extract(int(sys.argv[2]), int(sys.argv[3]) if len(sys.argv) > 3 else 3)
+        child_extract(
+            int(sys.argv[2]),
+            int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+            sys.argv[4] if len(sys.argv) > 4 else "sf0",
+            None if len(sys.argv) <= 5 or sys.argv[5] == "-" else sys.argv[5],
+        )
     else:
         main()
