@@ -27,9 +27,17 @@ def stream_extract_spans(
     checkpoint_dir: str,
     cfg: GenConfig,
     max_files_per_trigger: int = 4,
+    idempotent: bool = False,
 ):
     """Start an available-now streaming query: docs parquet feed →
-    fused extraction → parquet append. Returns the StreamingQuery."""
+    fused extraction → parquet append. Returns the StreamingQuery.
+
+    ``idempotent=True`` commits each micro-batch through
+    ``iceberg.merge_commit`` (Iceberg MERGE when the runtime is present,
+    per-batch overwritten partition dirs on parquet) so a RETRIED batch
+    converges instead of appending duplicates — the exactly-once sink
+    the module docstring's seam describes. Read the result back with
+    ``iceberg.read_committed``."""
     docs = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -41,7 +49,12 @@ def stream_extract_spans(
             batch_df.sparkSession, batch_df, cfg,
             input_partitions=batch_df.sparkSession.sparkContext.defaultParallelism,
         )
-        out.write.mode("append").parquet(output_dir)
+        if idempotent:
+            from ..iceberg import merge_commit
+
+            merge_commit(out, output_dir, batch_id)
+        else:
+            out.write.mode("append").parquet(output_dir)
 
     return (
         docs.writeStream.foreachBatch(process)
