@@ -2015,6 +2015,66 @@ FROM planted ORDER BY doc_id
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling — the data-mixing primitive a
+    pretraining pipeline uses to hit per-source token budgets. Each doc
+    draws a portable uniform u ∈ [0,1) from md5(doc_id) (exact: a 32-bit
+    integer over 2^32 is exactly representable, so the keep decision is
+    byte-identical across engines and stable under appends); the keep
+    rate depends on the source stratum (even sources kept at 0.8, odd at
+    0.25 — a stand-in for a quality-tiered mixing table). Scale shape:
+    pure projection + one hash aggregation; no shuffle of the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    src_num = F.regexp_replace("source", "[^0-9]", "").cast("int")
+    rate = F.when(src_num % 2 == 0, F.lit(0.8)).otherwise(F.lit(0.25))
+    per_doc = docs.select(
+        "source",
+        (u < rate).cast("int").alias("kept"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum("kept").alias("kept"),
+        )
+        .withColumn(
+            "rate",
+            F.when(
+                F.regexp_replace("source", "[^0-9]", "").cast("int") % 2 == 0,
+                F.lit(0.8),
+            ).otherwise(F.lit(0.25)),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+WITH per_doc AS (
+  SELECT source,
+         CASE WHEN ('0x' || substr(md5('strat:' || doc_id), 1, 8))::BIGINT
+                   / 4294967296.0
+              < CASE WHEN regexp_replace(source, '[^0-9]', '', 'g')::INT % 2 = 0
+                     THEN 0.8 ELSE 0.25 END
+              THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT source, count(*) AS total, sum(kept)::BIGINT AS kept,
+       CASE WHEN regexp_replace(source, '[^0-9]', '', 'g')::INT % 2 = 0
+            THEN 0.8 ELSE 0.25 END AS rate
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 def q_latexize_formulas(spark, sf_dir):
     """Formula enrichment through the REAL batched enrichment stage
     (kernels/enrichment.py): per document, a math-ish formula string is
@@ -2465,6 +2525,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_distinct_sketch": q_kmv_distinct_sketch,
     "quantize_embeddings": q_quantize_embeddings,
     "latexize_formulas": q_latexize_formulas,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -2523,5 +2584,6 @@ ORACLES: dict[str, str] = {
     "kmv_distinct_sketch": ORACLE_KMV_DISTINCT,
     "quantize_embeddings": ORACLE_QUANTIZE_EMBEDDINGS,
     "latexize_formulas": ORACLE_LATEXIZE_FORMULAS,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
 }
 
