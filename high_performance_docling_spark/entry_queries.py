@@ -2058,6 +2058,37 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Per-language document-length distribution (the profiling pass a
+    corpus-curation pipeline runs before setting length filters): exact
+    p50/p90/p99 of n_chars plus counts. Exact `percentile` (interpolated,
+    matching DuckDB quantile_cont bit-for-bit after rounding) keeps the
+    query oracle-able; the 100 TB path swaps in percentile_approx
+    (t-digest sketch, single pass, mergeable) at the cost of the exact
+    gate — grouping stays one hash aggregation either way."""
+    docs = _t(spark, sf_dir, "documents")
+    q = F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(q[0], 4).alias("p50"),
+            F.round(q[1], 4).alias("p90"),
+            F.round(q[2], 4).alias("p99"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_LENGTH_QUANTILES = """
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 ORACLE_STRATIFIED_SAMPLE = """
 WITH per_doc AS (
   SELECT source,
@@ -2526,6 +2557,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_embeddings": q_quantize_embeddings,
     "latexize_formulas": q_latexize_formulas,
     "stratified_sample": q_stratified_sample,
+    "length_quantiles": q_length_quantiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -2585,5 +2617,6 @@ ORACLES: dict[str, str] = {
     "quantize_embeddings": ORACLE_QUANTIZE_EMBEDDINGS,
     "latexize_formulas": ORACLE_LATEXIZE_FORMULAS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "length_quantiles": ORACLE_LENGTH_QUANTILES,
 }
 
