@@ -136,11 +136,15 @@ def child_extract(cores: int, k: int, variant: str = "sf0",
 
 def _task_time_spread(lineage_dir: str) -> dict:
     """Per-partition total wall ms from the fused stage's lineage rows →
-    the straggler metric (max / median across partitions)."""
+    the straggler metric (max / median across partitions). Partitions
+    that carried ZERO input rows are excluded: the parquet scan yields
+    empty splits (small maxPartitionBytes at sandbox scale) whose ~0 ms
+    rows would make the median meaningless."""
     import statistics as st
     from collections import defaultdict
 
     per_part: dict[int, float] = defaultdict(float)
+    rows_in: dict[int, int] = defaultdict(int)
     for fname in os.listdir(lineage_dir):
         if not fname.endswith(".jsonl"):
             continue
@@ -148,10 +152,12 @@ def _task_time_spread(lineage_dir: str) -> dict:
             for line in f:
                 row = json.loads(line)
                 per_part[row["partition_id"]] += row["wall_ms"]
-    walls = sorted(per_part.values())
+                rows_in[row["partition_id"]] += row["input_rows"]
+    walls = sorted(v for p, v in per_part.items() if rows_in[p] > 0)
     med = st.median(walls)
     return {
         "partitions": len(walls),
+        "empty_partitions_excluded": sum(1 for p in rows_in if rows_in[p] == 0),
         "task_ms_median": round(med, 1),
         "task_ms_max": round(walls[-1], 1),
         "task_time_max_over_median": round(walls[-1] / med, 3) if med else None,
