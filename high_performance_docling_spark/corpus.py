@@ -289,19 +289,34 @@ def typeset(doc_id: str, spans: list[dict[str, Any]], cfg: GenConfig) -> list[Ty
         blocks.append(group)
 
     # list-item marker style, one per document (ListItemMarkerProcessor
-    # strips it back off downstream); "" disables marker typesetting
+    # strips it back off downstream); "" disables marker typesetting.
+    # "1." = enumerated style: items number by their position in the
+    # consecutive list run — a pure function of the SPAN LIST (not of
+    # pagination), so retries/splits can't renumber.
     marker = (
-        random.Random(f"{cfg.seed}:{doc_id}:marker").choice(("- ", "• ", "* "))
+        random.Random(f"{cfg.seed}:{doc_id}:marker").choice(
+            ("- ", "• ", "* ", "1.")
+        )
         if cfg.process_list_markers
         else ""
     )
+    list_number: dict[int, int] = {}
+    if marker == "1.":
+        run = 0
+        for ix, sp in enumerate(spans):
+            if sp["kind"] == L.LIST_ITEM:
+                run += 1
+                list_number[ix] = run
+            else:
+                run = 0
 
     def rendered_lines(ix: int) -> list[str]:
         """Span text → typeset lines (list items carry the doc marker)."""
         sp = spans[ix]
         lines = sp["text"].split("\n")
         if marker and sp["kind"] == L.LIST_ITEM:
-            lines = [marker + lines[0]] + lines[1:]
+            m = f"{list_number[ix]}. " if marker == "1." else marker
+            lines = [m + lines[0]] + lines[1:]
         return lines
 
     def block_height(group: list[int], col_w: float) -> float:

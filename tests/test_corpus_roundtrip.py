@@ -62,8 +62,10 @@ def test_default_corpus_exercises_merges_and_markers():
 
     from high_performance_docling_spark.corpus import typeset
 
+    import re
+
     cfg = GenConfig(seed=7, n_docs=20, noise=False)
-    n_split = n_marker = n_hyphen_split = 0
+    n_split = n_marker = n_enum = n_hyphen_split = 0
     for i in range(cfg.n_docs):
         d = generate_doc(cfg, i)
         spans = sorted(d["spans"], key=lambda s: s["offset"])
@@ -74,9 +76,11 @@ def test_default_corpus_exercises_merges_and_markers():
                 if el.span_ix >= 0 and el.label == L.TEXT and not el.scanned:
                     seen[el.span_ix] += 1
                     parts.setdefault(el.span_ix, []).append(el)
-                if el.label == L.LIST_ITEM and el.lines \
-                        and el.lines[0][:2] in ("- ", "• ", "* "):
+                if el.label == L.LIST_ITEM and el.lines and re.match(
+                        r"^(- |• |\* |\d+\. )", el.lines[0]):
                     n_marker += 1
+                    if el.lines[0][0].isdigit():
+                        n_enum += 1
         for ix, cnt in seen.items():
             if cnt > 1:
                 n_split += 1
@@ -90,6 +94,7 @@ def test_default_corpus_exercises_merges_and_markers():
         assert len(out) == len(d["spans"])
     assert n_split > 0, "no paragraph ever split: merge path is vacuous"
     assert n_marker > 0, "no marker'd list items typeset"
+    assert n_enum > 0, "no enumerated (numbered) list style drawn"
 
 
 def test_generation_deterministic():
