@@ -26,6 +26,7 @@ oracle compute identical values.
 from __future__ import annotations
 
 import random
+import re
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -252,6 +253,11 @@ class TypesetPage:
     elements: list[TypesetElement] = field(default_factory=list)
 
 
+# typeset list markers split into their own cell ("- " excluded: a bare
+# "-" cell would trip sanitize's hyphen-join and glue onto the body)
+_MARKER_SPLIT = re.compile(r"^([*•]|\d+\.)\s(.+)$")
+
+
 def _line_width(text: str, col_w: float, is_last: bool, rng: random.Random) -> float:
     if not is_last:
         return col_w
@@ -408,16 +414,38 @@ def typeset(doc_id: str, spans: list[dict[str, Any]], cfg: GenConfig) -> list[Ty
                     scanned: bool = False) -> float:
         el = TypesetElement(ix, kind, page.page_no, x0, y, x0, y,
                             scanned=scanned)
-        for li, line in enumerate(lines):
-            w = _line_width(line, col_w, li == len(lines) - 1, rng)
+
+        def emit_cell(text: str, cl: float, cr: float) -> None:
             cell = {
                 "index": len(page.cells),
-                "text": line,
-                "l": x0, "t": y, "r": x0 + w, "b": y + LINE_H,
+                "text": text,
+                "l": cl, "t": y, "r": cr, "b": y + LINE_H,
                 "from_ocr": False, "confidence": 1.0,
             }
             page.cells.append(cell)
             el.cell_ixs.append(cell["index"])
+
+        for li, line in enumerate(lines):
+            last = li == len(lines) - 1
+            # multi-line items only: an extra cell changes the sanitize
+            # line count, and sanitize's 1-line path skips normalization
+            # — splitting a 1-line item would break text parity
+            m = _MARKER_SPLIT.match(line) if (
+                li == 0 and kind == L.LIST_ITEM and marker and len(lines) >= 2
+            ) else None
+            if m:
+                # the marker is its own pdf cell (real parsers emit the
+                # bullet/number as a separate word box — the geometry the
+                # marker-only detection-noise case needs)
+                mtxt, body = m.group(1), m.group(2)
+                mw = 5.4 * len(mtxt)
+                emit_cell(mtxt, x0, x0 + mw)
+                bx = x0 + mw + 4.0
+                w = _line_width(body, col_w - (mw + 4.0), last, rng)
+                emit_cell(body, bx, bx + w)
+            else:
+                w = _line_width(line, col_w, last, rng)
+                emit_cell(line, x0, x0 + w)
             y += LEADING
         y -= LEADING - LINE_H  # element bottom = last line bottom
         el.l = x0
@@ -616,6 +644,26 @@ def synth_detections(
             # image-only region: exact box (no cells will adjust it; the
             # OCR stage keys its synthetic text on this exact geometry)
             emit(label, el.l, el.t, el.r, el.b, max(conf, 0.6))
+            continue
+        # marker-only box: OCR/layout often splits a list bullet/number
+        # into its own detection; the ListItemMarkerProcessor merges it
+        # forward into the body box (readingorder_model.py:15-17 role).
+        # Only when the typeset marker IS its own cell (multi-line items)
+        if (
+            noise
+            and el.label == L.LIST_ITEM
+            and len(el.cell_ixs) >= 2
+            and re.fullmatch(r"[*•]|\d+\.", page.cells[el.cell_ixs[0]]["text"])
+            and rng.random() < 0.2
+        ):
+            mc = page.cells[el.cell_ixs[0]]
+            body = [page.cells[c] for c in el.cell_ixs[1:]]
+            emit(el.label, mc["l"] - 1, mc["t"] - 1, mc["r"] + 1,
+                 mc["b"] + 1, max(conf, 0.6))
+            emit(el.label, min(c["l"] for c in body) - 1,
+                 min(c["t"] for c in body) - 1,
+                 max(c["r"] for c in body) + 1,
+                 max(c["b"] for c in body) + 1, max(conf, 0.6))
             continue
         # regular text-like detection
         if noise and el.label == L.TEXT and len(el.cell_ixs) == 1 and rng.random() < 0.08:

@@ -202,7 +202,9 @@ def detect_stage(parsed_df, cfg: GenConfig, lineage_dir: str | None = None,
                 page_no=int(row["page_no"]),
                 width=float(row["width"]),
                 height=float(row["height"]),
-                cells=[],
+                # the detector reads cell geometry for the marker-only
+                # split noise case — must match the inline path exactly
+                cells=[dict(c) for c in row["cells"]],
                 elements=[element_from_dict(d, int(row["page_no"]))
                           for d in row["elements"]],
             )

@@ -97,6 +97,39 @@ def test_default_corpus_exercises_merges_and_markers():
     assert n_enum > 0, "no enumerated (numbered) list style drawn"
 
 
+def test_marker_only_detection_boxes_absorb_and_recover():
+    """Detector noise can split a list bullet/number into its own box
+    (the typeset marker cell); the ListItemMarkerProcessor must absorb
+    it forward so the doc still recovers span-for-span. Non-vacuous:
+    the seed-11 noisy corpus plants several such boxes."""
+    from high_performance_docling_spark.corpus import synth_detections, typeset
+
+    cfg = GenConfig(seed=11, n_docs=40, noise=True)
+    n_fired = n_checked = 0
+    for i in range(cfg.n_docs):
+        d = generate_doc(cfg, i)
+        spans = sorted(d["spans"], key=lambda s: s["offset"])
+        fired = 0
+        for page in typeset(d["doc_id"], spans, cfg):
+            fired += sum(
+                1 for dt in synth_detections(d["doc_id"], page, cfg)
+                if dt["label"] == L.LIST_ITEM and dt["confidence"] >= 0.55
+                and dt["r"] - dt["l"] < 20  # marker-only boxes are narrow
+            )
+        if not fired:
+            continue
+        n_fired += fired
+        out = extract_doc_spans(d["doc_id"], d["spans"], cfg)
+        if any(s["kind"] == L.FORM for s in out):
+            continue  # FORM wrapper diverges structurally by design
+        n_checked += 1
+        assert len(out) == len(spans), d["doc_id"]
+        for s_in, s_out in zip(spans, out):
+            kind, text, ref = expected_span(s_in)
+            assert (s_out["kind"], s_out["text"]) == (kind, text), d["doc_id"]
+    assert n_fired >= 3 and n_checked >= 3, (n_fired, n_checked)
+
+
 def test_generation_deterministic():
     cfg = GenConfig(seed=42, n_docs=3)
     assert [generate_doc(cfg, i) for i in range(3)] == [
