@@ -57,6 +57,7 @@ from ..labels import (
     WRAPPER_LABELS,
 )
 from ..geometry import pairwise_overlap_mask, union_find_groups
+from .spatial_index import GRID_CUTOVER as _GRID_CUTOVER
 
 _MAXIDX = sys.maxsize
 
@@ -205,8 +206,18 @@ def _remove_overlaps(
         return [], False
     params = OVERLAP_PARAMS[family]
     boxes = np.array([_box(c) for c in clusters], dtype=np.float64)
-    mask = pairwise_overlap_mask(boxes, 0.8, 0.8, epsilon)
-    edges = np.argwhere(np.triu(mask, k=1))
+    if len(clusters) > _GRID_CUTOVER:
+        # pathological pages (scanned books, 10^4+ clusters): the dense
+        # (N,N) mask is O(n²) memory, so switch to grid candidate
+        # pruning — same edge set (spatial_index.py parity contract),
+        # the role of the reference's R-tree/interval-tree index
+        # (layout_postprocessor.py:55-221)
+        from .spatial_index import overlap_edges_grid
+
+        edges = overlap_edges_grid(boxes, 0.8, 0.8, epsilon)
+    else:
+        mask = pairwise_overlap_mask(boxes, 0.8, 0.8, epsilon)
+        edges = np.argwhere(np.triu(mask, k=1))
     groups = union_find_groups(len(clusters), edges)
     result: list[dict] = []
     merged = False

@@ -262,3 +262,59 @@ def test_postfilter_detections():
     assert (out[0]["l"], out[0]["t"], out[0]["r"], out[0]["b"]) == (0.0, 0.0, 612.0, 792.0)
     # idempotent
     assert postfilter_detections(out, 612.0, 792.0) == out
+
+
+def test_grid_index_edges_match_dense_mask():
+    """Grid candidate pruning must yield EXACTLY the dense pairwise
+    mask's edge set (same thresholds/epsilon), on dense random boxes."""
+    import numpy as np
+
+    from high_performance_docling_spark.geometry import pairwise_overlap_mask
+    from high_performance_docling_spark.kernels.spatial_index import (
+        overlap_edges_grid,
+    )
+
+    rng = np.random.default_rng(3)
+    for trial, (n, span) in enumerate([(300, 200.0), (1500, 400.0)]):
+        xy = rng.uniform(0, span, (n, 2))
+        wh = rng.uniform(0.0, 40.0, (n, 2))
+        boxes = np.concatenate([xy, xy + wh], axis=1)
+        boxes[:7, 2] = boxes[:7, 0]  # degenerate zero-area boxes
+        for eps in (0.0, 0.01):
+            dense = np.argwhere(
+                np.triu(pairwise_overlap_mask(boxes, 0.8, 0.8, eps), k=1)
+            )
+            grid = overlap_edges_grid(boxes, 0.8, 0.8, eps)
+            assert sorted(map(tuple, dense)) == sorted(map(tuple, grid)), (
+                trial, eps)
+
+
+def test_grid_path_handles_pathological_page():
+    """>10^4 clusters: the dense mask would be a 10^8-element matrix;
+    the grid path must produce correct groups in reasonable time."""
+    import time
+
+    import numpy as np
+
+    from high_performance_docling_spark.geometry import union_find_groups
+    from high_performance_docling_spark.kernels.spatial_index import (
+        overlap_edges_grid,
+    )
+
+    n = 20000
+    rng = np.random.default_rng(5)
+    # pairs of near-identical boxes -> n/2 groups of 2
+    base = np.concatenate(
+        [rng.uniform(0, 5000, (n // 2, 2)),
+         np.zeros((n // 2, 2))], axis=1)
+    base[:, 2] = base[:, 0] + 20
+    base[:, 3] = base[:, 1] + 10
+    dup = base + rng.uniform(-0.5, 0.5, base.shape)
+    boxes = np.concatenate([base, dup], axis=0)
+    t0 = time.monotonic()
+    edges = overlap_edges_grid(boxes, 0.8, 0.8, 0.0)
+    groups = union_find_groups(n, edges)
+    dt = time.monotonic() - t0
+    n_pairs = sum(1 for g in groups if len(g) >= 2)
+    assert n_pairs >= 0.95 * (n // 2)  # random jitter keeps most pairs
+    assert dt < 30.0, f"grid path too slow: {dt:.1f}s"
