@@ -93,6 +93,12 @@ class _Extractor(HTMLParser):
 
     # -- helpers -----------------------------------------------------------
     def _open_block(self, tag: str) -> None:
+        # anchor scope ends at block boundaries: an <a> left open when a
+        # block element starts (unclosed anchor, card-style block links)
+        # must not flag every following block as link text
+        if self._anchor_depth:
+            self._stack = [f for f in self._stack if f["tag"] != "a"]
+            self._anchor_depth = 0
         self._stack.append({"tag": tag, "inline": False, "text": [],
                             "link_chars": 0})
 
@@ -173,6 +179,13 @@ class _Extractor(HTMLParser):
             elif tag in ("td", "th"):
                 self._close_cell()  # sibling cell with omitted </td>
                 self._open_block(tag)
+            elif (tag in BLOCK_TAGS
+                  and self._top_block_tag() not in ("td", "th")):
+                # foster-parenting (HTML5 tables): block content inside a
+                # table but OUTSIDE any cell must not vanish — an
+                # unclosed <table> would otherwise swallow the rest of
+                # the document
+                self._open_block(tag)
             return
         # Optional end tags: a new <li> closes an open li; any block-level
         # start closes an open <p> (HTML5 "optional tags" rules).
@@ -210,6 +223,8 @@ class _Extractor(HTMLParser):
         if self._in_table:
             if tag in ("tr", "td", "th"):
                 self._close_cell()  # </tr> with omitted </td> drains too
+            elif self._top_block_tag() == tag:
+                self._close_block()  # foster-parented block closes inline
             return
         # Generic: pop to the MATCHING open frame, closing any intervening
         # blocks (omitted </li>/</p> before a parent's end tag close here,

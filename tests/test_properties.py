@@ -201,3 +201,43 @@ def test_pdf_parser_rejects_or_parses_never_crashes():
                 pass
 
     run()
+
+
+def test_html_extractor_tag_soup_and_strip_mode_always_exits():
+    """Structured tag-soup fuzz for the end-tag matcher: random nesting
+    with omitted/stray end tags, void tags, and boilerplate subtrees —
+    the extractor must stay total, keep orders sequential, and content
+    AFTER any boilerplate region must always survive (the r3 strip-mode
+    wedge class)."""
+    from hypothesis import given, settings, strategies as st
+
+    from high_performance_docling_spark.kernels.html_extract import (
+        html_to_spans,
+    )
+
+    # no strip-capable tags in the soup: an UNCLOSED <nav>/<form>
+    # correctly swallows the remainder (browser semantics), which is not
+    # the wedge class under test (voids + omitted ends inside balanced
+    # boilerplate)
+    tag = st.sampled_from(
+        ["p", "div", "li", "ul", "span", "td", "tr", "table", "h2",
+         "br", "img", "input", "hr", "a"]
+    )
+    piece = st.one_of(
+        tag.map(lambda t: f"<{t}>"),
+        tag.map(lambda t: f"</{t}>"),
+        tag.map(lambda t: f"<{t}/>"),
+        st.text(alphabet="abc xyz", min_size=1, max_size=12),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(piece, max_size=30))
+    def run(pieces):
+        soup = "".join(pieces)
+        html = f"<nav>junk{soup}</nav>{soup}<p>sentinel survives here</p>"
+        spans = html_to_spans(html)
+        assert [sp["order"] for sp in spans] == list(range(len(spans)))
+        assert any("sentinel survives here" in sp["text"] for sp in spans), \
+            soup
+
+    run()
