@@ -94,9 +94,9 @@ class GenConfig:
     # ground-truth boxes + recoverable noise; "conv" runs the real-math
     # conv detector (kernels/toy_models.ConvLayoutDetector) — a genuine
     # float32-NCHW forward whose post-process recovers boxes to ~1e-6 pt
-    # from pixel coverage. "conv" requires ocr_frac == 0: the synthetic
-    # OCR text lookup keys on bit-exact geometry, which survives the
-    # synth replay but not float32 pixel quantization.
+    # from pixel coverage — exact end-to-end on both plain and OCR
+    # corpora (the OCR text keying int-rounds coordinates, far above the
+    # recovery error).
     detector: str = "synth"
 
 

@@ -285,3 +285,32 @@ def test_staged_conv_detector_e2e_spans_exact(spark):
     for doc_id, in_spans in inputs.items():
         assert staged[doc_id] == extract_doc_spans(doc_id, in_spans, cfg), \
             doc_id
+
+
+def test_staged_conv_detector_exact_on_ocr_corpus(spark):
+    """The real-math detector's ~1e-7 pt recovery error survives the OCR
+    path too: synthetic OCR text keys on int-rounded crop geometry, so
+    conv-detector staged spans equal synth-detector staged spans on a
+    scanned-region corpus."""
+    from high_performance_docling_spark.corpus import GenConfig
+    from high_performance_docling_spark.pipeline import (
+        docs_dataframe,
+        extract_spans,
+    )
+
+    base = dict(seed=21, n_docs=8, noise=False, ocr_frac=0.3,
+                keep_empty_clusters=True)
+    cfg_syn = GenConfig(**base, detector="synth")
+    cfg_conv = GenConfig(**base, detector="conv")
+    docs = docs_dataframe(spark, cfg_syn, num_partitions=2)
+
+    def spans(df):
+        return {r["doc_id"]: [s.asDict() for s in r["spans"]]
+                for r in df.collect()}
+
+    syn = spans(extract_spans(spark, docs, cfg_syn, mode="staged"))
+    conv = spans(extract_spans(spark, docs, cfg_conv, mode="staged"))
+    assert syn == conv and len(conv) == 8
+    # non-vacuous: scanned OCR text is present in the output
+    assert any("scanned region" in s["text"]
+               for spans_ in conv.values() for s in spans_)
