@@ -98,6 +98,11 @@ class GenConfig:
     # corpora (the OCR text keying int-rounds coordinates, far above the
     # recovery error).
     detector: str = "synth"
+    # Post-assembly enrichment stage (gpu_processor.py:184-202 role):
+    # formula spans rewrite to LaTeX through the batch-5 VLM stand-in.
+    # Off by default only because the round-trip invariant compares raw
+    # input text; flip on for docling-parity output.
+    enrich_formulas: bool = False
 
 
 # --------------------------------------------------------------------------

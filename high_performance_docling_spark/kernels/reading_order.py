@@ -340,6 +340,7 @@ def assemble_spans(
     enable_merges: bool = False,
     process_list_markers: bool = False,
     reading_order_mode: str | None = None,
+    enrich_formulas: bool = False,
 ) -> list[dict[str, Any]]:
     """Full document assembly: reading order + attachment → ordered spans.
 
@@ -408,4 +409,20 @@ def assemble_spans(
         for fn_cid in footnotes.get(cid, ()):
             fn = by_cid[fn_cid]
             emit(fn["label"], fn.get("text") or "", fn.get("media_ref") or "")
+    if enrich_formulas:
+        # the reference's enrichment pass runs over the assembled doc
+        # (gpu_processor.py:184-202): formula/code spans through the
+        # batch-5 VLM stand-in (LaTeX-izer + code-language parse)
+        from .enrichment import enrich_elements
+
+        work = [
+            {"label": s["kind"], "text": s["text"], "_span": s}
+            for s in spans
+            if s["kind"] in ("formula", "code")
+        ]
+        if work:
+            enrich_elements(work)
+            for w in work:
+                w["_span"]["text"] = w["text"]
+                w.pop("_span")
     return spans

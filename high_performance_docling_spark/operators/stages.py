@@ -471,6 +471,9 @@ def doc_assemble_stage(elements_df, lineage_dir: str | None = None,
                 reading_order_mode=(
                     getattr(cfg, "reading_order_mode", None) if cfg else None
                 ),
+                enrich_formulas=(
+                    getattr(cfg, "enrich_formulas", False) if cfg else False
+                ),
             ),
         }
         if with_confidence:

@@ -64,6 +64,7 @@ def extract_doc_result(
             enable_merges=cfg.enable_merges,
             process_list_markers=cfg.process_list_markers,
             reading_order_mode=getattr(cfg, "reading_order_mode", None),
+            enrich_formulas=getattr(cfg, "enrich_formulas", False),
         )
     }
     _mark("doc_assemble", t)

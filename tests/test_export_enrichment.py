@@ -148,3 +148,37 @@ def test_fetch_documents_source(spark):
     assert {k: bytes(v["payload"]) for k, v in rows.items()} == rows2
     with pytest.raises(NotImplementedError):
         fetch_documents(manifest, real_http=True)
+
+
+def test_enrichment_stage_in_pipeline(spark):
+    """cfg.enrich_formulas=True runs the batch-5 enrichment pass over the
+    assembled document: formula spans come out LaTeX-ized (matching the
+    kernel applied to the sanitized input), everything else unchanged,
+    and Spark == serial oracle still holds."""
+    from high_performance_docling_spark.corpus import GenConfig
+    from high_performance_docling_spark.kernels.enrichment import (
+        latexize_formula,
+    )
+    from high_performance_docling_spark.kernels.sanitize import sanitize_text
+    from high_performance_docling_spark.oracle import extract_doc_spans
+    from high_performance_docling_spark.pipeline import (
+        docs_dataframe,
+        extract_spans,
+    )
+
+    cfg = GenConfig(seed=9, n_docs=14, noise=False, enrich_formulas=True)
+    docs = docs_dataframe(spark, cfg, num_partitions=3)
+    got = {r["doc_id"]: [s.asDict() for s in r["spans"]]
+           for r in extract_spans(spark, docs, cfg).collect()}
+    inputs = {r["doc_id"]: [s.asDict() for s in r["spans"]]
+              for r in docs.collect()}
+    n_formula = 0
+    for doc_id, in_spans in inputs.items():
+        assert got[doc_id] == extract_doc_spans(doc_id, in_spans, cfg)
+        for s_in, s_out in zip(sorted(in_spans, key=lambda s: s["offset"]),
+                               got[doc_id]):
+            if s_in["kind"] == "formula":
+                n_formula += 1
+                want = latexize_formula(sanitize_text(s_in["text"].split("\n")))
+                assert s_out["text"] == want, doc_id
+    assert n_formula > 0  # non-vacuous
