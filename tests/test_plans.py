@@ -116,3 +116,25 @@ def test_extract_html_spans_one_python_stage_no_shuffle(spark):
     p = plan(spark, "extract_html_spans")
     assert p.count("MapInPandas") == 1
     assert "Exchange hashpartitioning" not in p
+
+
+def test_latexize_is_one_python_stage_no_shuffle(spark):
+    # formula build is JVM-side; the enrichment harness is ONE narrow
+    # mapInPandas pass; only the presentation sort exchanges
+    p = plan(spark, "latexize_formulas")
+    assert p.count("MapInPandas") == 1
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_stratified_sample_single_hash_agg_no_python(spark):
+    p = plan(spark, "stratified_sample")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p  # pure JVM projection + hash agg
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_length_quantiles_single_agg_no_python(spark):
+    p = plan(spark, "length_quantiles")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
+    assert p.count("Exchange hashpartitioning") <= 1
