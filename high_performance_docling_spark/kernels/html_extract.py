@@ -128,13 +128,16 @@ class _Extractor(HTMLParser):
                             "media_ref": ""})
 
     def _close_cell(self) -> None:
-        """Drain an open td/th frame into the current table row."""
+        """Drain an open td/th frame into the current table row; a cell
+        with no open row implies one (HTML5 implies <tr> before a stray
+        <td>), so its text is never silently dropped."""
         if (self._stack and not self._stack[-1]["inline"]
                 and self._stack[-1]["tag"] in ("td", "th")):
             blk = self._pop_frame()
-            if self._table_rows:
-                cell = " ".join("".join(blk["text"]).split())
-                self._table_rows[-1].append(cell)
+            cell = " ".join("".join(blk["text"]).split())
+            if not self._table_rows:
+                self._table_rows.append([])
+            self._table_rows[-1].append(cell)
 
     def _top_block_tag(self) -> str | None:
         if self._stack and not self._stack[-1]["inline"]:
