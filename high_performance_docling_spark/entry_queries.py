@@ -2015,6 +2015,156 @@ FROM planted ORDER BY doc_id
 """
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel conversion (signup → view → purchase, strictly
+    increasing event times per user) — the sequential-pattern analytics
+    query event pipelines run constantly. Shape at scale: three keyed
+    aggregations and two equi-joins, ALL keyed on user_id, so one hash
+    partitioning serves every stage (co-partitioned, no re-shuffle
+    between steps under AQE exchange reuse)."""
+    ev = _t(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    # single-row aggregates cross-joined (scalar broadcast sides) —
+    # registry construction stays job-free
+    a1 = s1.agg(F.count(F.lit(1)).alias("n_signup"))
+    a2 = s2.agg(F.count(F.lit(1)).alias("n_viewed_after"))
+    a3 = s3.agg(F.count(F.lit(1)).alias("n_purchased_after"))
+    return a1.crossJoin(a2).crossJoin(a3).select(
+        "n_signup", "n_viewed_after", "n_purchased_after",
+        F.round(F.col("n_viewed_after")
+                / F.nullif(F.col("n_signup"), F.lit(0)), 6)
+        .alias("view_rate"),
+        F.round(F.col("n_purchased_after")
+                / F.nullif(F.col("n_viewed_after"), F.lit(0)), 6)
+        .alias("purchase_rate"),
+    )
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s1) AS n_signup,
+       (SELECT count(*) FROM s2) AS n_viewed_after,
+       (SELECT count(*) FROM s3) AS n_purchased_after,
+       round((SELECT count(*) FROM s2) * 1.0
+             / nullif((SELECT count(*) FROM s1), 0), 6) AS view_rate,
+       round((SELECT count(*) FROM s3) * 1.0
+             / nullif((SELECT count(*) FROM s2), 0), 6) AS purchase_rate
+"""
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters: estimate per-user event counts
+    through a d=4 × w=256 CMS (portable md5 row hashes — the estimate,
+    not just the bound, is byte-identical across engines), then top-10
+    users by estimated count with the exact count alongside. Scale
+    shape: the sketch is ONE d·w-cell aggregation of the corpus (tiny,
+    broadcastable); per-key estimates join the DISTINCT key set against
+    the sketch — the corpus itself is aggregated once and never
+    re-shuffled. CMS over-counts only (est >= exact, asserted by the
+    oracle columns)."""
+    d, w = 4, 256
+    ev = _t(spark, sf_dir, "events")
+
+    def bucket(i: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{i}:"),
+                               F.col("user_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % w
+
+    rows = ev.select(
+        "user_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("row"), bucket(i).alias("bucket"))
+            for i in range(d)
+        ])).alias("rb"),
+    )
+    counters = rows.groupBy("rb.row", "rb.bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    users = ev.select("user_id").distinct().select(
+        "user_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("row"), bucket(i).alias("bucket"))
+            for i in range(d)
+        ])).alias("rb"),
+    ).select("user_id", "rb.row", "rb.bucket")
+    est = (
+        users.join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy("user_id").agg(F.min("c").alias("est_count"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    ranked = (
+        est.join(exact, "user_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(F.desc("est_count"), F.asc("user_id"))
+            ),
+        )
+        .filter(F.col("rk") <= 10)
+        .select("rk", "user_id", "est_count", "exact_count")
+        .orderBy("rk")
+    )
+    return ranked
+
+
+ORACLE_CMS_HEAVY_HITTERS = """
+WITH rb AS (
+  SELECT user_id, i.i AS row,
+         ('0x' || substr(md5('cms' || i.i || ':' || user_id), 1, 8))::BIGINT
+           % 256 AS bucket
+  FROM events, (SELECT unnest(range(0, 4)) AS i) i
+),
+counters AS (
+  SELECT row, bucket, count(*) AS c FROM rb GROUP BY row, bucket
+),
+users AS (
+  SELECT DISTINCT user_id, row, bucket FROM rb
+),
+est AS (
+  SELECT u.user_id, min(c.c) AS est_count
+  FROM users u JOIN counters c USING (row, bucket)
+  GROUP BY u.user_id
+),
+exact AS (
+  SELECT user_id, count(*) AS exact_count FROM events GROUP BY user_id
+)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY est_count DESC, user_id ASC) AS rk,
+         user_id, est_count, exact_count
+  FROM est JOIN exact USING (user_id)
+) WHERE rk <= 10 ORDER BY rk
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling — the data-mixing primitive a
     pretraining pipeline uses to hit per-source token budgets. Each doc
@@ -2558,6 +2708,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latexize_formulas": q_latexize_formulas,
     "stratified_sample": q_stratified_sample,
     "length_quantiles": q_length_quantiles,
+    "events_funnel": q_events_funnel,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
 }
 
 ORACLES: dict[str, str] = {
@@ -2618,5 +2770,7 @@ ORACLES: dict[str, str] = {
     "latexize_formulas": ORACLE_LATEXIZE_FORMULAS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "length_quantiles": ORACLE_LENGTH_QUANTILES,
+    "events_funnel": ORACLE_EVENTS_FUNNEL,
+    "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
 }
 

@@ -138,3 +138,21 @@ def test_length_quantiles_single_agg_no_python(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "MapInPandas" not in p
     assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_cms_sketch_is_broadcast_corpus_aggregated_once(spark):
+    # the d*w counter table broadcasts; the events corpus feeds hash
+    # aggregations, never a sort-merge join of the full corpus
+    p = plan(spark, "cms_heavy_hitters")
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_events_funnel_all_stages_keyed_on_user(spark):
+    p = plan(spark, "events_funnel")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # every exchange is either the user_id hash partitioning or a
+    # single-row broadcast/single-partition gather — no other keys
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([a-z_0-9#]+)", p):
+        assert m.group(1).startswith("user_id"), m.group(0)
