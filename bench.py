@@ -154,6 +154,17 @@ def _task_time_spread(lineage_dir: str) -> dict:
                 per_part[row["partition_id"]] += row["wall_ms"]
                 rows_in[row["partition_id"]] += row["input_rows"]
     walls = sorted(v for p, v in per_part.items() if rows_in[p] > 0)
+    if not walls:
+        # no lineage rows / all partitions empty — report nulls instead
+        # of aborting the whole bench after the timed samples completed
+        return {
+            "partitions": 0,
+            "empty_partitions_excluded": sum(
+                1 for p in rows_in if rows_in[p] == 0),
+            "task_ms_median": None,
+            "task_ms_max": None,
+            "task_time_max_over_median": None,
+        }
     med = st.median(walls)
     return {
         "partitions": len(walls),

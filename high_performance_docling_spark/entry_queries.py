@@ -2121,15 +2121,23 @@ def q_cms_heavy_hitters(spark, sf_dir):
         .groupBy("user_id").agg(F.min("c").alias("est_count"))
     )
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
-    ranked = (
+    # Top-10 via orderBy().limit() → TakeOrderedAndProject (per-partition
+    # top-10 then a 10-row merge on the driver side of the exchange) —
+    # NOT a partition-less row_number window, which would funnel every
+    # distinct user's estimate row through one task at 100 TB. The rank
+    # window below runs over the already-limited 10-row result only.
+    top = (
         est.join(exact, "user_id")
-        .withColumn(
+        .orderBy(F.desc("est_count"), F.asc("user_id"))
+        .limit(10)
+    )
+    ranked = (
+        top.withColumn(
             "rk",
             F.row_number().over(
                 W.orderBy(F.desc("est_count"), F.asc("user_id"))
             ),
         )
-        .filter(F.col("rk") <= 10)
         .select("rk", "user_id", "est_count", "exact_count")
         .orderBy("rk")
     )

@@ -5,12 +5,20 @@ The Iceberg runtime jar is a public Maven artifact
 sandbox and cannot be fetched (no network), so every entry point here
 has two branches:
 
-  - **Iceberg branch** (``iceberg_available``): SQL ``MERGE INTO`` keyed
-    on doc identity — the reference pattern for exactly-once streaming
-    commits into a v2 table (re-running a failed micro-batch converges
-    instead of duplicating). Exercised by tests/test_iceberg.py's
-    catalog e2e test, which SKIPS without the runtime and runs fully
-    when the jar is on the classpath (spark.jars.packages or --jars).
+  - **Iceberg branch** (``iceberg_available``): DELETE-by-batch +
+    append, keyed on a ``_commit_batch_id`` bookkeeping column — the
+    exactly-once pattern for streaming commits into a v2 table. A
+    retried micro-batch first deletes ALL rows of its previous attempt
+    (including rows the corrected retry no longer contains) and then
+    appends, so retry semantics are IDENTICAL to the parquet fallback's
+    partition-dir overwrite: full replacement, and batches with multiple
+    rows per doc_id (span-level frames) are fine — unlike a keyed MERGE
+    INTO, which only upserts (stale rows survive) and raises a
+    cardinality error on multi-row keys. A crash between the DELETE and
+    the append still converges on re-run (the retry's DELETE is then a
+    no-op). Exercised by tests/test_iceberg.py's catalog e2e test, which
+    SKIPS without the runtime and runs fully when the jar is on the
+    classpath (spark.jars.packages or --jars).
   - **Parquet fallback** (always testable): the idempotent-foreachBatch
     pattern — each micro-batch overwrites its own ``batch_id=N``
     partition directory, so a retried batch REPLACES its previous
@@ -41,22 +49,28 @@ def merge_commit(batch_df: DataFrame, target: str, batch_id: int,
     """Idempotently commit one (micro-)batch of span rows to ``target``.
 
     ``target`` is an Iceberg table name (no '/') or a parquet directory.
-    Re-invoking with the same ``batch_id``/data converges to the same
-    table state — the exactly-once contract a restarted streaming query
-    needs from its sink.
+    Re-invoking with the same ``batch_id`` converges to the same table
+    state — the exactly-once contract a restarted streaming query needs
+    from its sink — and a retry with CORRECTED data fully replaces the
+    failed attempt in BOTH branches (no stale rows, no duplicate keys;
+    multiple rows per ``key`` within a batch are allowed). ``key`` is
+    kept for API compatibility with resume_pending-based callers; commit
+    identity is the batch, not the key.
     """
     spark = batch_df.sparkSession
     if "/" not in target and iceberg_available(spark):
-        view = f"_merge_src_{batch_id}"
-        batch_df.createOrReplaceTempView(view)
-        spark.sql(f"""
-            MERGE INTO {target} t
-            USING {view} s
-            ON t.{key} = s.{key}
-            WHEN MATCHED THEN UPDATE SET *
-            WHEN NOT MATCHED THEN INSERT *
-        """)
-        spark.catalog.dropTempView(view)
+        # replace-by-batch: delete the previous attempt's rows (no-op on
+        # first run), then append tagged rows. Name-based writeTo append
+        # tolerates column-order drift; pre-existing rows without the
+        # bookkeeping column read as NULL and are never deleted.
+        if "_commit_batch_id" not in spark.table(target).columns:
+            spark.sql(f"ALTER TABLE {target} ADD COLUMN _commit_batch_id INT")
+        spark.sql(
+            f"DELETE FROM {target} WHERE _commit_batch_id = {int(batch_id)}"
+        )
+        batch_df.withColumn(
+            "_commit_batch_id", F.lit(int(batch_id))
+        ).writeTo(target).append()
         return
     # parquet fallback: one overwritten partition dir per batch — a retry
     # replaces its own output instead of appending a duplicate
@@ -68,7 +82,7 @@ def read_committed(spark: SparkSession, target: str) -> DataFrame:
     on Iceberg; recursive partition-dir read on the parquet fallback),
     WITHOUT the commit bookkeeping column."""
     if "/" not in target and iceberg_available(spark):
-        return spark.read.format("iceberg").load(target)
+        return spark.read.format("iceberg").load(target).drop("_commit_batch_id")
     df = spark.read.option("basePath", target).parquet(f"{target}/batch_id=*")
     return df.drop("batch_id")
 

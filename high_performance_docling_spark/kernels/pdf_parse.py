@@ -79,7 +79,9 @@ def _unescape(s: bytes) -> str:
             if nxt.isdigit():  # octal escape (\8 / \9 are not octal)
                 m = re.match(rb"\\([0-7]{1,3})", s[i:])
                 if m:
-                    out.append(chr(int(m.group(1), 8)))
+                    # ISO 32000 7.3.4.2: "high-order overflow shall be
+                    # ignored" — \400..\777 wrap to the byte value mod 256
+                    out.append(chr(int(m.group(1), 8) & 0xFF))
                     i += 1 + len(m.group(1))
                     continue
             # ISO 32000 7.3.4.2: backslash-EOL is a line continuation

@@ -87,7 +87,7 @@ def test_streaming_idempotent_sink_equals_batch(spark, tmp_path):
 
 
 def test_iceberg_catalog_merge_e2e(spark, tmp_path):
-    """FULL catalog e2e — docs table via writeTo, MERGE-keyed commit,
+    """FULL catalog e2e — docs table via writeTo, replace-by-batch commit,
     snapshot read, anti-join resume. Runs only with the public
     iceberg-spark-runtime jar on the classpath (sandbox has no network
     to fetch it); the fallback tests above pin the same semantics."""
@@ -104,7 +104,24 @@ def test_iceberg_catalog_merge_e2e(spark, tmp_path):
     )
     merge_commit(_spans_df(spark, range(5), "a"), tbl, batch_id=0)
     merge_commit(_spans_df(spark, range(5), "a"), tbl, batch_id=0)  # retry
-    assert read_committed(spark, tbl).count() == 5
+    got = read_committed(spark, tbl)
+    assert got.count() == 5
+    assert "_commit_batch_id" not in got.columns  # bookkeeping stripped
+    # corrected retry REPLACES the failed attempt (rows absent from the
+    # retry — doc-4 — must not survive), and multi-row-per-key batches
+    # (span-level frames: two rows for doc-3) must commit cleanly
+    multi = spark.createDataFrame(
+        [("doc-3", "span b 0", 0), ("doc-3", "span b 1", 1),
+         ("doc-4b", "text b 4", 4)],
+        ["doc_id", "text", "ord"],
+    )
+    merge_commit(_spans_df(spark, range(5), "a"), tbl, batch_id=1)
+    merge_commit(multi, tbl, batch_id=1)  # corrected retry of batch 1
+    texts = {r["text"] for r in read_committed(spark, tbl).collect()}
+    assert {"span b 0", "span b 1", "text b 4"} <= texts
+    # batch-1's first attempt (5 rows) is fully gone — 13 rows here would
+    # mean the retry appended without deleting; batch 0 untouched
+    assert read_committed(spark, tbl).count() == 5 + 3
     docs = spark.createDataFrame(
         [(f"doc-{i}", "x") for i in range(8)], ["doc_id", "text"]
     )

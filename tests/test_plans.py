@@ -146,6 +146,13 @@ def test_cms_sketch_is_broadcast_corpus_aggregated_once(spark):
     p = plan(spark, "cms_heavy_hitters")
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # VERDICT r4 #2: top-10 must be TakeOrderedAndProject (per-partition
+    # top-k then a 10-row merge), never a partition-less row_number
+    # window over the full per-user estimate table. The only Window in
+    # the plan runs AFTER the limit, over <=10 rows.
+    assert "TakeOrderedAndProject" in p
+    head, _, tail = p.partition("TakeOrderedAndProject")
+    assert "Window" not in tail, "window below the top-k — global rank over the estimate table"
 
 
 def test_events_funnel_all_stages_keyed_on_user(spark):
