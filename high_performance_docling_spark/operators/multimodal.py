@@ -5,11 +5,14 @@ the Spark-side schema/partitioning/UDF plumbing is real and tested. The
 IMAGE codec path is real: ``real_codecs=True`` decodes actual PNG bytes
 via the pure-Python codec (kernels/png_codec.py, stdlib zlib) and
 computes features over decoded PIXELS; ``synth_png_media`` builds a
-deterministic corpus of real PNG payloads for it. Audio/video decode
-remains the one stubbed seam (no ffmpeg in this container):
-``decode_media_batch`` raises ``NotImplementedError`` when a real-codec
-run meets an audio/video payload, so a production deployment plugs
-ffmpeg into exactly one function.
+deterministic corpus of real PNG payloads for it. The AUDIO codec path
+is real too: ``synth_wav_media`` emits actual RIFF/WAVE 16-bit-PCM
+payloads (kernels/wav_codec.py, stdlib wave) and both
+``decode_media_batch(real_codecs=True)`` and ``audio_feature_batch``
+operate on the DECODED samples. Video decode remains the one stubbed
+seam (no ffmpeg in this container): ``decode_media_batch`` raises
+``NotImplementedError`` when a real-codec run meets a video payload, so
+a production deployment plugs ffmpeg into exactly one function.
 
 Reference analogue: figure crops as content-addressed refs
 (document_assembler.py:62-90) and image batches through model stages
@@ -118,6 +121,95 @@ def synth_png_media(docs_df: DataFrame) -> DataFrame:
     return docs_df.select("doc_id").mapInPandas(fn, MEDIA_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        # EXACT integer aggregates only — the float math (mean/rms/
+        # duration) happens JVM-side with F.round so it is bit-identical
+        # to the DuckDB oracle's round() (half away from zero; Python's
+        # builtin round is banker's and would diverge on ties)
+        T.StructField("sum_abs", T.LongType(), False),
+        T.StructField("sum_sq", T.LongType(), False),
+        T.StructField("zero_crossings", T.IntegerType(), False),
+    ]
+)
+
+
+def synth_wav_media(docs_df: DataFrame) -> DataFrame:
+    """Deterministic REAL-WAV media table: every row is an audio clip
+    whose payload is actual RIFF/WAVE bytes (encode_wav) of a
+    doc_id-seeded int16 waveform — s_i = ((doc_id*7919 + i*104729) mod
+    65536) - 32768, n = doc_id mod 400 + 160 samples, rate 8/12/16 kHz by
+    doc_id mod 3. The formula is pure integer modular arithmetic so a SQL
+    oracle can regenerate the exact samples without touching the codec."""
+    from ..kernels.wav_codec import encode_wav
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = did % 400 + 160
+                sr = 8000 + (did % 3) * 4000
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 7919 + i * 104729) % 65536 - 32768).astype(np.int16)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "media_type": "audio",
+                        "payload": encode_wav(s, sr),
+                        "meta": {"width": None, "height": None,
+                                 "n_frames": None, "sample_rate": sr},
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "payload", "meta"]
+            )
+
+    return docs_df.select("doc_id").mapInPandas(fn, MEDIA_SCHEMA)
+
+
+def audio_feature_batch(df: DataFrame) -> DataFrame:
+    """Audio payloads → per-clip integer feature aggregates over the
+    DECODED samples (wav_codec round-trips the container): sample count,
+    rate, sum(|s|), sum(s²), and sign-change count. Multi-channel clips
+    fold channel 0. One Arrow-batched Python stage, no shuffle."""
+    from ..kernels.wav_codec import decode_wav
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s, sr = decode_wav(bytes(payload))
+                if s.ndim == 2:
+                    s = s[:, 0]
+                s64 = s.astype(np.int64)
+                neg = s64 < 0
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_samples": len(s64),
+                        "sample_rate": int(sr),
+                        "sum_abs": int(np.abs(s64).sum()),
+                        "sum_sq": int((s64 * s64).sum()),
+                        "zero_crossings": int((neg[:-1] != neg[1:]).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "sample_rate",
+                         "sum_abs", "sum_sq", "zero_crossings"],
+            )
+
+    return df.mapInPandas(fn, AUDIO_FEATURES_SCHEMA)
+
+
 def _entropy(data: bytes) -> float:
     import math
 
@@ -138,11 +230,12 @@ def decode_media_batch(df: DataFrame, real_codecs: bool = False) -> DataFrame:
 
     ``real_codecs=False`` (the synthetic path) computes byte-level
     features over the opaque payload. ``real_codecs=True`` DECODES image
-    payloads as real PNGs (kernels/png_codec.py) and computes the same
-    features over the decoded pixel array instead — n_bytes is the
-    decoded pixel-byte count, byte_mean/byte_entropy are pixel
-    statistics. Audio/video under real_codecs raise NotImplementedError
-    (the one remaining codec seam: no ffmpeg in this container)."""
+    payloads as real PNGs (kernels/png_codec.py) and audio payloads as
+    real WAVs (kernels/wav_codec.py), computing the same features over
+    the decoded pixel / raw-PCM byte array instead — n_bytes is the
+    decoded byte count, byte_mean/byte_entropy are decoded-content
+    statistics. Video under real_codecs raises NotImplementedError (the
+    one remaining codec seam: no ffmpeg in this container)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -152,14 +245,19 @@ def decode_media_batch(df: DataFrame, real_codecs: bool = False) -> DataFrame:
             ):
                 data = bytes(payload)
                 if real_codecs:
-                    if mtype != "image":
+                    if mtype == "image":
+                        from ..kernels.png_codec import decode_png
+
+                        data = decode_png(data).tobytes()
+                    elif mtype == "audio":
+                        from ..kernels.wav_codec import decode_wav
+
+                        data = decode_wav(data)[0].tobytes()
+                    else:
                         raise NotImplementedError(
-                            "real audio/video decode requires ffmpeg — "
+                            "real video decode requires ffmpeg — "
                             "not in this container"
                         )
-                    from ..kernels.png_codec import decode_png
-
-                    data = decode_png(data).tobytes()
                 n_frames = (meta or {}).get("n_frames") or 0
                 # frame sampling: every 10th frame, deterministic
                 frames = (
