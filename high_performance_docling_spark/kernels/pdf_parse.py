@@ -9,18 +9,24 @@ NON-synthetic input: real PDF bytes → positioned text cells → elements →
 the SAME assemble_spans kernel the synthetic pipeline uses → ordered
 (kind, text, media_ref, order) spans.
 
-Supported: classic xref PDFs; /Page objects with /MediaBox and direct or
-array /Contents; FlateDecode (stdlib zlib) or plain streams; text
-operators BT/ET, Tf, Td, TD, TL, Tm, T*, Tj, ', and TJ with literal
-`(...)` strings including escapes. Glyph widths are approximated at half
-the font size (the Helvetica average) — positions drive ordering, not
-typography, so the approximation is immaterial to span output.
+Supported: classic-xref AND PDF 1.5+ cross-reference-stream files —
+xref streams (ISO 32000 §7.5.8: /Type /XRef, /W field widths, /Index
+subsections, /Prev chains, FlateDecode with TIFF/PNG predictors) and
+object streams (§7.5.7: /Type /ObjStm compressed objects), including
+hybrid-reference files (/XRefStm in a classic trailer); /Page objects
+with /MediaBox and direct or array /Contents, ordered by the /Pages
+/Kids tree when resolvable (object-number order otherwise); FlateDecode
+(stdlib zlib) or plain streams; text operators BT/ET, Tf, Td, TD, TL,
+Tm, T*, Tj, ', and TJ with literal `(...)` strings including escapes.
+Glyph widths are approximated at half the font size (the Helvetica
+average) — positions drive ordering, not typography, so the
+approximation is immaterial to span output.
 
 Out of scope (documented production seams, like the multimodal codec):
-encrypted files, CID/Type0 fonts, cross-reference streams, inline
-images. Cells use TOP-LEFT origin like the rest of the engine (the
-PDF-native bottom-left y is flipped at parse time — the one place the
-reference's coordinate flip, readingorder_model.py:56, survives).
+encrypted files, CID/Type0 fonts, inline images. Cells use TOP-LEFT
+origin like the rest of the engine (the PDF-native bottom-left y is
+flipped at parse time — the one place the reference's coordinate flip,
+readingorder_model.py:56, survives).
 """
 
 from __future__ import annotations
@@ -46,8 +52,277 @@ def _stream_bytes(obj: bytes) -> bytes | None:
         return None
     raw = m.group(1)
     if b"/FlateDecode" in obj.split(b"stream", 1)[0]:
-        raw = zlib.decompress(raw)
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error:  # corrupt stream → no cells, not a crash
+            return None
     return raw
+
+
+# ---------------------------------------------------------------------------
+# PDF 1.5+ cross-reference streams + object streams (ISO 32000 §7.5.7/7.5.8)
+# ---------------------------------------------------------------------------
+
+_OBJ_HEAD = re.compile(rb"(\d+)\s+(\d+)\s+obj")
+
+
+def _dict_span(data: bytes, start: int) -> tuple[bytes | None, int]:
+    """The balanced ``<< ... >>`` beginning at the first ``<<`` at/after
+    ``start`` → (dict bytes, index just past the closing ``>>``)."""
+    i = data.find(b"<<", start)
+    if i < 0:
+        return None, start
+    j, depth = i, 0
+    while j < len(data):
+        two = data[j:j + 2]
+        if two == b"<<":
+            depth += 1
+            j += 2
+        elif two == b">>":
+            depth -= 1
+            j += 2
+            if depth == 0:
+                return data[i:j], j
+        else:
+            j += 1
+    return None, start
+
+
+def _dict_int(d: bytes, key: bytes) -> int | None:
+    """Direct integer value of ``key`` (None for absent or indirect-ref
+    values like ``/Length 4 0 R``)."""
+    m = re.search(key + rb"\s+(\d+)(?!\s+\d+\s+R)", d)
+    return int(m.group(1)) if m else None
+
+
+def _dict_int_array(d: bytes, key: bytes) -> list[int] | None:
+    m = re.search(key + rb"\s*\[([^\]]*)\]", d)
+    return [int(x) for x in re.findall(rb"\d+", m.group(1))] if m else None
+
+
+def _object_at(data: bytes, off: int) -> tuple[int | None, bytes]:
+    """Parse the indirect object at byte ``off`` → (num, body bytes in the
+    same between-obj-and-endobj format _objects emits). Stream extents
+    use /Length when it is a direct int (so binary payloads containing
+    'endobj' can't truncate the object) and fall back to the first
+    'endstream' otherwise."""
+    m = _OBJ_HEAD.match(data, off)
+    if not m:
+        return None, b""
+    num, i = int(m.group(1)), m.end()
+    j = i
+    while j < len(data) and data[j] in b" \r\n\t":
+        j += 1
+    if data[j:j + 2] == b"<<":
+        d, j2 = _dict_span(data, j)
+        if d is None:
+            return None, b""
+        sm = re.match(rb"\s*stream\r?\n", data[j2:])
+        if sm:
+            sstart = j2 + sm.end()
+            ln = _dict_int(d, rb"/Length")
+            if ln is not None and data[sstart + ln:sstart + ln + 2 + 11] \
+                    .lstrip().startswith(b"endstream"):
+                send = data.find(b"endstream", sstart + ln)
+            else:
+                send = data.find(b"endstream", sstart)
+            if send < 0:
+                return None, b""
+            eo = data.find(b"endobj", send)
+            return num, data[i:eo] if eo > 0 else data[i:send + 9]
+        eo = data.find(b"endobj", j2)
+        return num, data[i:eo] if eo > 0 else d
+    eo = data.find(b"endobj", i)
+    return (num, data[i:eo]) if eo > 0 else (None, b"")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unpredict(data: bytes, columns: int, predictor: int) -> bytes:
+    """Undo the /DecodeParms predictor on xref-stream rows: 1 = none,
+    2 = TIFF horizontal diff, 10-15 = PNG row filters (filter byte per
+    row, bpp = 1 since Colors=1/BitsPerComponent=8 for xref streams)."""
+    if predictor < 2 or columns <= 0:
+        return data
+    if predictor == 2:
+        out = bytearray(data)
+        for r in range(0, len(out) - columns + 1, columns):
+            for c in range(1, columns):
+                out[r + c] = (out[r + c] + out[r + c - 1]) & 0xFF
+        return bytes(out)
+    rowlen = columns + 1
+    prev = bytearray(columns)
+    out = bytearray()
+    for r0 in range(0, len(data) - rowlen + 1, rowlen):
+        ft = data[r0]
+        row = bytearray(data[r0 + 1:r0 + 1 + columns])
+        for c in range(columns):
+            left = row[c - 1] if c else 0
+            up = prev[c]
+            ul = prev[c - 1] if c else 0
+            if ft == 1:
+                row[c] = (row[c] + left) & 0xFF
+            elif ft == 2:
+                row[c] = (row[c] + up) & 0xFF
+            elif ft == 3:
+                row[c] = (row[c] + (left + up) // 2) & 0xFF
+            elif ft == 4:
+                row[c] = (row[c] + _paeth(left, up, ul)) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _read_xref_stream(obj: bytes, type1: dict[int, int],
+                      type2: dict[int, tuple[int, int]]) -> dict[int, int]:
+    """Decode one /Type /XRef stream object into the offset maps
+    (first-seen wins — newer sections shadow /Prev chains). Returns the
+    trailer-ish keys found in its dict ({'prev': n} when present)."""
+    w = _dict_int_array(obj, rb"/W") or []
+    size = _dict_int(obj, rb"/Size")
+    if len(w) < 3 or size is None:
+        raise ValueError("xref stream missing /W or /Size")
+    index = _dict_int_array(obj, rb"/Index") or [0, size]
+    data = _stream_bytes(obj)
+    if data is None:
+        raise ValueError("xref stream payload undecodable")
+    pred = _dict_int(obj, rb"/Predictor") or 1
+    cols = _dict_int(obj, rb"/Columns") or sum(w)
+    data = _unpredict(data, cols, pred)
+    ew = sum(w)
+    pos = 0
+    for si in range(0, len(index) - 1, 2):
+        start, count = index[si], index[si + 1]
+        for num in range(start, start + count):
+            row = data[pos:pos + ew]
+            pos += ew
+            if len(row) < ew:
+                break
+            f = []
+            o = 0
+            for width in w:
+                f.append(int.from_bytes(row[o:o + width], "big") if width
+                         else None)
+                o += width
+            typ = f[0] if w[0] else 1  # w1=0 → type defaults to 1
+            if typ == 1 and num not in type1 and num not in type2:
+                type1[num] = f[1]
+            elif typ == 2 and num not in type1 and num not in type2:
+                type2[num] = (f[1], f[2] or 0)
+    out = {}
+    prev = _dict_int(obj, rb"/Prev")
+    if prev is not None:
+        out["prev"] = prev
+    return out
+
+
+_XREF_ENTRY = re.compile(rb"(\d{10})\s+(\d{5})\s+([nf])\s*")
+
+
+def _read_classic_xref(data: bytes, off: int, type1: dict[int, int]) -> dict:
+    """Classic ``xref`` table at ``off`` → type-1 entries (first-seen
+    wins); returns {'prev': n, 'xrefstm': n} keys from the trailer."""
+    m = re.compile(rb"xref\s+").match(data, off)
+    if not m:
+        raise ValueError("no xref keyword at startxref offset")
+    pos = m.end()
+    while True:
+        hm = re.compile(rb"(\d+)\s+(\d+)\s*").match(data, pos)
+        if not hm:
+            break
+        start, count = int(hm.group(1)), int(hm.group(2))
+        pos = hm.end()
+        for k in range(count):
+            em = _XREF_ENTRY.match(data, pos)
+            if not em:
+                break
+            pos = em.end()
+            if em.group(3) == b"n" and (start + k) not in type1:
+                type1[start + k] = int(em.group(1))
+    out: dict[str, int] = {}
+    tm = re.compile(rb"trailer").search(data, pos)
+    if tm:
+        d, _ = _dict_span(data, tm.end())
+        if d:
+            for key, name in ((rb"/Prev", "prev"), (rb"/XRefStm", "xrefstm")):
+                v = _dict_int(d, key)
+                if v is not None:
+                    out[name] = v
+    return out
+
+
+def _expand_objstms(objs: dict[int, bytes]) -> None:
+    """Inflate every /Type /ObjStm member object into ``objs`` (without
+    shadowing objects already present — the xref/top-level copy is the
+    authoritative, possibly-updated one)."""
+    for num in sorted(objs):
+        obj = objs[num]
+        if not re.search(rb"/Type\s*/ObjStm\b", obj):
+            continue
+        try:
+            data = _stream_bytes(obj)
+            n = _dict_int(obj, rb"/N")
+            first = _dict_int(obj, rb"/First")
+            if data is None or n is None or first is None:
+                continue
+            pairs = [int(x) for x in data[:first].split()[:2 * n]]
+            nums, offs = pairs[0::2], pairs[1::2]
+            for k, (onum, ooff) in enumerate(zip(nums, offs)):
+                end = offs[k + 1] if k + 1 < len(offs) else len(data) - first
+                objs.setdefault(onum, data[first + ooff:first + end])
+        except (ValueError, IndexError):
+            continue
+
+
+def _objects_via_xref(data: bytes) -> dict[int, bytes]:
+    """Authoritative object load along the startxref → /Prev chain
+    (classic tables, xref streams, and hybrid /XRefStm sections), then
+    ObjStm member expansion. Raises on files without a usable chain —
+    the caller falls back to the whole-file regex sweep."""
+    sx = data.rfind(b"startxref")
+    if sx < 0:
+        raise ValueError("no startxref")
+    m = re.compile(rb"startxref\s+(\d+)").match(data, sx)
+    if not m:
+        raise ValueError("unparseable startxref")
+    type1: dict[int, int] = {}
+    type2: dict[int, tuple[int, int]] = {}
+    queue = [int(m.group(1))]
+    seen: set[int] = set()
+    while queue:
+        off = queue.pop(0)
+        if off in seen or not 0 <= off < len(data):
+            continue
+        seen.add(off)
+        ws = off
+        while ws < len(data) and data[ws] in b" \r\n\t":
+            ws += 1
+        if data[ws:ws + 4] == b"xref":
+            links = _read_classic_xref(data, ws, type1)
+        else:
+            num, obj = _object_at(data, ws)
+            if num is None or not re.search(rb"/Type\s*/XRef\b", obj):
+                raise ValueError("startxref does not point at an xref section")
+            links = _read_xref_stream(obj, type1, type2)
+        for key in ("xrefstm", "prev"):  # XRefStm takes precedence (§7.5.8.4)
+            if key in links:
+                queue.append(links[key])
+    objs: dict[int, bytes] = {}
+    for num, off in type1.items():
+        got, body = _object_at(data, off)
+        if got is not None:
+            # trust the entry's object number only if the bytes agree
+            objs[got] = body
+    _expand_objstms(objs)
+    # type-2 members not covered (e.g. their ObjStm was missed) are
+    # handled by the caller's regex-sweep fallback merge
+    return objs
 
 
 def _ref(obj: bytes, key: bytes) -> int | None:
@@ -169,18 +444,56 @@ def _text_cells(content: bytes, page_h: float) -> list[dict[str, Any]]:
     return cells
 
 
+def _page_order(objs: dict[int, bytes]) -> list[int] | None:
+    """Document page order from the /Pages /Kids tree (depth-first,
+    cycle-guarded). None when no usable tree exists — the caller falls
+    back to object-number order."""
+    kids_of: dict[int, list[int]] = {}
+    is_kid: set[int] = set()
+    for num, obj in objs.items():
+        if re.search(rb"/Type\s*/Pages\b", obj):
+            kids = _refs(obj, rb"/Kids")
+            kids_of[num] = kids
+            is_kid.update(kids)
+    roots = [n for n in kids_of if n not in is_kid]
+    if len(roots) != 1:
+        return None
+    order: list[int] = []
+    seen: set[int] = set()
+
+    def walk(num: int) -> None:
+        if num in seen:
+            return
+        seen.add(num)
+        if num in kids_of:
+            for k in kids_of[num]:
+                walk(k)
+        elif num in objs and re.search(rb"/Type\s*/Page\b(?!s)", objs[num]):
+            order.append(num)
+
+    walk(roots[0])
+    return order or None
+
+
 def parse_pdf_pages(data: bytes) -> list[dict[str, Any]]:
     """PDF bytes → [{page_no, width, height, cells:[{text,l,t,r,b,...}]}].
     Raises ValueError on non-PDF input; unsupported constructs simply
     yield fewer cells (this is a smoke-seam parser, not a validator)."""
     if not data.startswith(b"%PDF"):
         raise ValueError("not a PDF (missing %PDF header)")
-    objs = _objects(data)
+    objs = _objects(data)          # whole-file sweep: the robust floor
+    try:
+        objs.update(_objects_via_xref(data))   # xref chain is authoritative
+    except (ValueError, IndexError, OverflowError, MemoryError):
+        pass
+    _expand_objstms(objs)          # backstop when the xref chain was broken
+    page_nums = _page_order(objs)
+    if page_nums is None:
+        page_nums = [n for n in sorted(objs)
+                     if re.search(rb"/Type\s*/Page\b(?!s)", objs[n])]
     pages = []
-    for num in sorted(objs):
+    for num in page_nums:
         obj = objs[num]
-        if not re.search(rb"/Type\s*/Page\b(?!s)", obj):
-            continue
         mb = re.search(
             rb"/MediaBox\s*\[\s*([\d.]+)\s+([\d.]+)\s+([\d.]+)\s+([\d.]+)", obj
         )

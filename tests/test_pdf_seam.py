@@ -72,6 +72,84 @@ def _build_pdf() -> bytes:
     return out
 
 
+def _png_up_filter(rows: list[bytes]) -> bytes:
+    """Apply the PNG Up predictor (filter 2) to fixed-width rows — the
+    common /DecodeParms << /Predictor 12 >> encoding of xref streams."""
+    out = b""
+    prev = bytes(len(rows[0]))
+    for row in rows:
+        out += b"\x02" + bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        prev = row
+    return out
+
+
+def _build_pdf_15() -> bytes:
+    """The SAME logical document as _build_pdf, re-serialized as a PDF
+    1.5+ file: all non-stream objects live in a Flate /ObjStm (obj 8) and
+    the cross-reference is a /Type /XRef stream (obj 9) with /W [1 2 1]
+    and a PNG-Up predictor — the construct VERDICT r4 #3 requires
+    (ISO 32000 §7.5.7/§7.5.8). The member page objects are invisible to
+    a classic whole-file regex sweep (they only exist zlib-compressed)."""
+    members = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 7 0 R >> >> >>"),
+        (5, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 6 0 R /Resources << /Font << /F1 7 0 R >> >> >>"),
+        (7, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    bodies, offs, pos = [], [], 0
+    for _, body in members:
+        bodies.append(body)
+        offs.append(pos)
+        pos += len(body) + 1
+    header = b" ".join(
+        b"%d %d" % (num, off) for (num, _), off in zip(members, offs)
+    ) + b"\n"
+    payload = header + b"\n".join(bodies) + b"\n"
+    zpayload = zlib.compress(payload)
+    objstm = (
+        b"8 0 obj<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n" % (len(members), len(header), len(zpayload))
+        + zpayload + b"\nendstream\nendobj\n"
+    )
+
+    out = b"%PDF-1.5\n"
+    offsets: dict[int, int] = {}
+    for num, blob in (
+        (4, _stream_obj(4, PAGE1_CONTENT)),
+        (6, _stream_obj(6, PAGE2_CONTENT, flate=True)),
+        (8, objstm),
+    ):
+        offsets[num] = len(out)
+        out += blob
+    xref_pos = len(out)
+
+    def row(typ: int, f2: int, f3: int) -> bytes:
+        return bytes([typ]) + f2.to_bytes(2, "big") + bytes([f3])
+
+    rows = [
+        row(0, 0, 255),                 # 0: free
+        row(2, 8, 0), row(2, 8, 1), row(2, 8, 2),   # 1,2,3 in ObjStm 8
+        row(1, offsets[4], 0),
+        row(2, 8, 3),                   # 5 in ObjStm
+        row(1, offsets[6], 0),
+        row(2, 8, 4),                   # 7 in ObjStm
+        row(1, offsets[8], 0),
+        row(1, xref_pos, 0),            # 9: the xref stream itself
+    ]
+    zx = zlib.compress(_png_up_filter(rows))
+    out += (
+        b"9 0 obj<< /Type /XRef /Size 10 /W [1 2 1] /Root 1 0 R "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >> "
+        b"/Length %d >>\nstream\n" % len(zx)
+        + zx + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
+    return out
+
+
 def test_pdf_parser_extracts_positioned_cells():
     pages = parse_pdf_pages(_build_pdf())
     assert len(pages) == 2
@@ -136,6 +214,92 @@ def test_pdf_seam_through_spark_fetch_stage(spark):
         assert spans[0] == ("section_header", "Engine Report", 0)
         assert len(spans) == 6
     assert out["bad"][0]["kind"] == "error"  # unparseable rows surfaced
+
+
+def test_pdf15_xref_stream_objstm_same_spans_as_classic():
+    """VERDICT r4 #3 done-criterion: the xref-stream + ObjStm
+    re-serialization of the vendored fixture parses to EXACTLY the same
+    spans as its classic-xref form."""
+    classic = extract_pdf_spans(_build_pdf())
+    modern = extract_pdf_spans(_build_pdf_15())
+    assert [(s["kind"], s["text"], s["order"]) for s in modern] == \
+           [(s["kind"], s["text"], s["order"]) for s in classic]
+    assert len(modern) == 6
+
+
+def test_pdf15_xref_stream_is_the_discovery_path():
+    """The member objects (catalog/pages/page dicts/font) exist ONLY
+    zlib-compressed inside the ObjStm — prove the §7.5.7/§7.5.8 loader
+    actually finds them (not the regex sweep)."""
+    from high_performance_docling_spark.kernels.pdf_parse import (
+        _objects,
+        _objects_via_xref,
+    )
+
+    data = _build_pdf_15()
+    swept = _objects(data)
+    assert set(swept) == {4, 6, 8, 9}  # regex sweep can't see 1,2,3,5,7
+    via_xref = _objects_via_xref(data)
+    assert {1, 2, 3, 5, 7, 4, 6, 8, 9} <= set(via_xref)
+    assert b"/Type /Catalog" in via_xref[1]
+    assert b"/BaseFont /Helvetica" in via_xref[7]
+
+
+def test_png_predictor_roundtrip():
+    from high_performance_docling_spark.kernels.pdf_parse import _unpredict
+
+    rows = [bytes([1, 0, 200, 3]), bytes([2, 8, 1, 255]), bytes([1, 0, 77, 0])]
+    assert _unpredict(_png_up_filter(rows), 4, 12) == b"".join(rows)
+    # TIFF predictor 2: horizontal byte diffs
+    tiff = bytes([5, 251, 2, 10, 254, 1])  # rows (5,0,2) and (10,8,9)
+    assert _unpredict(tiff, 3, 2) == bytes([5, 0, 2, 10, 8, 9])
+
+
+def test_pdf15_hybrid_classic_trailer_with_xrefstm():
+    """Hybrid-reference file (§7.5.8.4): classic trailer carrying
+    /XRefStm — the chain must follow it into the xref stream."""
+    from high_performance_docling_spark.kernels.pdf_parse import (
+        _objects_via_xref,
+    )
+
+    base = _build_pdf_15()
+    stream_startxref = int(base.rsplit(b"startxref\n", 1)[1].split(b"\n")[0])
+    # append a classic trailer section pointing at the xref stream
+    hybrid = base + (
+        b"xref\n0 1\n0000000000 65535 f \n"
+        b"trailer\n<< /Size 10 /Root 1 0 R /XRefStm %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (stream_startxref, len(base))
+    )
+    objs = _objects_via_xref(hybrid)
+    assert {1, 2, 3, 5, 7} <= set(objs)
+    spans = extract_pdf_spans(hybrid)
+    assert len(spans) == 6
+
+
+def test_pdf_parser_fuzz_no_hangs_or_foreign_exceptions():
+    """ADVICE r4 stretch: hypothesis-mutate the modern fixture — byte
+    flips, truncations, splices — and assert the parser either returns
+    pages or raises ValueError; never any other exception."""
+    from hypothesis import given, settings, strategies as st
+
+    base = _build_pdf_15()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        start=st.integers(0, len(base) - 1),
+        length=st.integers(1, 64),
+        payload=st.binary(min_size=0, max_size=64),
+        truncate=st.integers(0, len(base)),
+    )
+    def run(start, length, payload, truncate):
+        mutated = (base[:start] + payload + base[start + length:])[:truncate or None]
+        try:
+            pages = parse_pdf_pages(mutated)
+            assert isinstance(pages, list)
+        except ValueError:
+            pass
+
+    run()
 
 
 def test_literal_string_unescape_iso_32000():
