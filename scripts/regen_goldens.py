@@ -55,6 +55,33 @@ def regen_spans() -> None:
     print(f"spans_seed42.json: {len(out)} docs")
 
 
+def regen_enriched_spans() -> None:
+    """Docling-parity profile goldens (enrichment ON — VERDICT r4 #4):
+    the invariant is the ENRICHED span sequence."""
+    from high_performance_docling_spark.corpus import docling_parity_config
+
+    cfg = docling_parity_config(seed=42, n_docs=10)
+    out = {}
+    for i in range(10):
+        d = generate_doc(cfg, i)
+        spans = extract_doc_spans(d["doc_id"], d["spans"], cfg)
+        out[d["doc_id"]] = {
+            "n_spans": len(spans),
+            "hash": spans_hash(spans),
+            "spans": [
+                {"kind": s["kind"], "text": s["text"],
+                 "media_ref": s["media_ref"], "order": s["order"]}
+                for s in spans
+            ],
+        }
+    with open(os.path.join(GOLDEN_DIR, "spans_enriched_seed42.json"), "w") as f:
+        json.dump(out, f, indent=1, ensure_ascii=False)
+    n_formula = sum(
+        1 for doc in out.values() for s in doc["spans"] if s["kind"] == "formula"
+    )
+    print(f"spans_enriched_seed42.json: {len(out)} docs, {n_formula} formula spans")
+
+
 def regen_layout_and_tables() -> None:
     cfg = GenConfig(seed=42, n_docs=6)
     layout, tables = {}, {}
@@ -91,4 +118,5 @@ def regen_layout_and_tables() -> None:
 
 if __name__ == "__main__":
     regen_spans()
+    regen_enriched_spans()
     regen_layout_and_tables()

@@ -34,6 +34,76 @@ def test_spans_match_frozen_goldens():
         ] == g["spans"], d["doc_id"]
 
 
+def test_enriched_profile_spans_match_goldens_all_modes(spark, tmp_path):
+    """Docling-parity output profile (VERDICT r4 #4): enrichment ON +
+    merges + markers; the tested invariant is the ENRICHED span sequence
+    (spans_enriched_seed42.json) — serial oracle, fused, staged, and
+    checkpointed-staged execution all produce it exactly."""
+    from high_performance_docling_spark.corpus import docling_parity_config
+    from high_performance_docling_spark.pipeline import (
+        docs_dataframe,
+        extract_spans,
+    )
+
+    with open(os.path.join(os.path.dirname(__file__), "goldens",
+                           "spans_enriched_seed42.json")) as f:
+        golden = json.load(f)
+    cfg = docling_parity_config(seed=42, n_docs=10)
+    assert cfg.enrich_formulas and cfg.enable_merges and cfg.process_list_markers
+
+    def norm(rows):
+        return {
+            r["doc_id"]: [
+                {"kind": s["kind"], "text": s["text"],
+                 "media_ref": s["media_ref"], "order": s["order"]}
+                for s in r["spans"]
+            ]
+            for r in rows
+        }
+
+    want = {doc_id: g["spans"] for doc_id, g in golden.items()}
+
+    # serial oracle
+    serial = {}
+    for i in range(10):
+        d = generate_doc(cfg, i)
+        serial[d["doc_id"]] = [
+            {"kind": s["kind"], "text": s["text"],
+             "media_ref": s["media_ref"], "order": s["order"]}
+            for s in extract_doc_spans(d["doc_id"], d["spans"], cfg)
+        ]
+    assert serial == want
+
+    docs = docs_dataframe(spark, cfg, num_partitions=4)
+    for mode, kw in (
+        ("fused", {}),
+        ("staged", {}),
+        ("staged-checkpointed", {"checkpoint_dir": str(tmp_path / "ckpt")}),
+    ):
+        got = norm(
+            extract_spans(spark, docs, cfg,
+                          mode=mode.split("-")[0], **kw).collect()
+        )
+        assert got == want, mode
+
+    # non-vacuous: the profile's output DIFFERS from the raw profile on
+    # formula spans (enrichment actually ran)
+    n_formula = sum(1 for spans in want.values()
+                    for s in spans if s["kind"] == "formula")
+    assert n_formula > 0
+    raw_cfg = docling_parity_config(seed=42, n_docs=10, enrich_formulas=False)
+    diffs = []
+    for i in range(10):
+        d = generate_doc(raw_cfg, i)
+        raw = extract_doc_spans(d["doc_id"], d["spans"], raw_cfg)
+        diffs += [
+            (a["text"], b["text"])
+            for a, b in zip(raw, want[d["doc_id"]])
+            if a["kind"] == "formula" and a["text"] != b["text"]
+        ]
+    assert diffs, "enrichment changed no formula span in the golden corpus"
+
+
 def test_layout_matcher_tolerates_small_shift():
     golden = [{"label": "text", "l": 10, "t": 10, "r": 110, "b": 40}]
     close = [{"label": "text", "l": 11, "t": 10.5, "r": 111, "b": 40.2}]

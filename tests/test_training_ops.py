@@ -146,12 +146,17 @@ def test_multimodal_real_png_decode(spark, docs):
         assert abs(r["byte_mean"] - round(float(img.mean()), 6)) < 1e-9
 
 
-def test_multimodal_audio_video_codec_still_guarded(spark, docs):
-    """Only images have a real codec; audio/video under real_codecs
-    surface the NotImplementedError seam (raised executor-side)."""
-    av = MM.synth_media(docs.limit(30)).filter("media_type <> 'image'")
+def test_multimodal_video_codec_still_guarded(spark, docs):
+    """Images AND audio now have real codecs; only video under
+    real_codecs surfaces the NotImplementedError seam (raised
+    executor-side). Audio with a non-WAV payload is a decode
+    ValueError, not the missing-codec seam."""
+    video = MM.synth_media(docs.limit(30)).filter("media_type = 'video'")
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
-        MM.decode_media_batch(av, real_codecs=True).collect()
+        MM.decode_media_batch(video, real_codecs=True).collect()
+    audio = MM.synth_media(docs.limit(30)).filter("media_type = 'audio'")
+    with pytest.raises(Exception, match="ValueError|not a readable WAV"):
+        MM.decode_media_batch(audio, real_codecs=True).collect()
 
 
 def test_banded_near_dup_pairs_full_recall_vs_brute_force(spark):
