@@ -25,6 +25,7 @@ oracle compute identical values.
 
 from __future__ import annotations
 
+import math
 import random
 import re
 from dataclasses import dataclass, field
@@ -98,6 +99,14 @@ class GenConfig:
     # corpora (the OCR text keying int-rounds coordinates, far above the
     # recovery error).
     detector: str = "synth"
+    # Pathological cluster-density stress (VERDICT r4 #7): tile this many
+    # tiny low-confidence FORMULA proposals INSIDE the largest text
+    # element's cell envelope on every page. Each tile has IoS = 1
+    # against its anchor (overlap dedup absorbs the whole pile into the
+    # anchor, which wins the rule-based best pick on area), and tiles are
+    # mutually disjoint, so the >GRID_CUTOVER page resolves through the
+    # grid index while spans stay EXACT. 0 = off (the default corpus).
+    dense_noise_boxes: int = 0
     # Post-assembly enrichment stage (gpu_processor.py:184-202 role):
     # formula spans rewrite to LaTeX through the batch-5 VLM stand-in.
     # Off by default only because the round-trip invariant compares raw
@@ -729,6 +738,41 @@ def synth_detections(
     if noise and rng.random() < 0.06:
         # full-page picture proposal (filtered at :488-501)
         emit(L.PICTURE, 2.0, 2.0, page.width - 2.0, page.height - 2.0, 0.9)
+
+    if cfg.dense_noise_boxes > 0:
+        # pathological density stress (no rng — deterministic tiling, and
+        # zero draws so the base noise stream above is untouched): tiny
+        # disjoint above-threshold FORMULA proposals inside the largest
+        # text element's cell envelope. Each is fully inside the anchor
+        # (IoS = 1 edge to it, no tile-tile edges), so overlap dedup
+        # absorbs the pile into the anchor and output spans are EXACT.
+        anchors = [
+            e for e in page.elements
+            if e.label == L.TEXT and not e.scanned and e.cell_ixs
+        ]
+        if anchors:
+            a = max(anchors, key=lambda e: (e.r - e.l) * (e.b - e.t))
+            acells = [page.cells[i] for i in a.cell_ixs]
+            l0 = min(c["l"] for c in acells) + 0.5
+            t0 = min(c["t"] for c in acells) + 0.5
+            r0 = max(c["r"] for c in acells) - 0.5
+            b0 = max(c["b"] for c in acells) - 0.5
+            bw, bh = r0 - l0, b0 - t0
+            if bw > 4.0 and bh > 4.0:
+                n = cfg.dense_noise_boxes
+                cols = max(1, int(math.ceil(math.sqrt(n * bw / bh))))
+                nrows = max(1, int(math.ceil(n / cols)))
+                dw, dh = bw / cols, bh / nrows
+                conf = L.CONFIDENCE_THRESHOLDS[L.FORMULA] + 0.01
+                k = 0
+                for ri in range(nrows):
+                    for ci in range(cols):
+                        if k >= n:
+                            break
+                        x, y = l0 + ci * dw, t0 + ri * dh
+                        emit(L.FORMULA, x + 0.1 * dw, y + 0.1 * dh,
+                             x + 0.6 * dw, y + 0.6 * dh, conf)
+                        k += 1
     return dets
 
 

@@ -58,6 +58,13 @@ class GridIndex:
         return cand[cand != i]
 
 
+# process-local telemetry: number of times the grid path ran (i.e. pages
+# whose cluster count exceeded GRID_CUTOVER). Stages snapshot this around
+# a partition's work to emit a "grid_pages" lineage row — the evidence
+# that a pathological page actually took the grid cutover in production.
+GRID_CALLS = 0
+
+
 def overlap_edges_grid(
     boxes: np.ndarray,
     overlap_threshold: float,
@@ -68,6 +75,8 @@ def overlap_edges_grid(
     ``argwhere(triu(pairwise_overlap_mask(boxes, ...), 1))`` but built
     through grid candidate pruning — O(n + edges) memory instead of the
     dense O(n²) mask."""
+    global GRID_CALLS
+    GRID_CALLS += 1
     boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
     n = len(boxes)
     if n == 0:

@@ -246,8 +246,11 @@ def layout_stage(pages_df, cfg: GenConfig, lineage_dir: str | None = None,
     ``with_confidence`` adds the per-page PageConfidenceScores struct
     (see convert_stage) — it rides the elements checkpoint too."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import spatial_index as _si
+
         t0 = time.monotonic()
         n = 0
+        grid0 = _si.GRID_CALLS
         for pdf in batches:
             rows = []
             for doc_id, page_no, width, height, cells, dets in zip(
@@ -296,6 +299,11 @@ def layout_stage(pages_df, cfg: GenConfig, lineage_dir: str | None = None,
                 data["page_confidence"] = out_conf
             yield pd.DataFrame(data)
         _write_lineage(lineage_dir, "layout", n, n, t0)
+        if _si.GRID_CALLS > grid0:
+            # evidence row: this partition had page(s) past GRID_CUTOVER
+            _write_lineage_ms(lineage_dir, "layout/grid_pages",
+                              _si.GRID_CALLS - grid0,
+                              _si.GRID_CALLS - grid0, 0.0)
 
     from ..schemas import ELEMENTS_CONF_SCHEMA
 
@@ -328,8 +336,11 @@ def convert_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None,
     materialize to parquet anyway.
     """
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import spatial_index as _si
+
         t0 = time.monotonic()
         n_in = n_out = 0
+        grid0 = _si.GRID_CALLS
         for pdf in batches:
             items: list[tuple[str, object]] = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
@@ -367,6 +378,10 @@ def convert_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None,
             )
             yield pd.DataFrame(rows, columns=cols)
         _write_lineage(lineage_dir, "convert", n_in, n_out, t0)
+        if _si.GRID_CALLS > grid0:
+            _write_lineage_ms(lineage_dir, "convert/grid_pages",
+                              _si.GRID_CALLS - grid0,
+                              _si.GRID_CALLS - grid0, 0.0)
 
     from ..schemas import ELEMENTS_CONF_SCHEMA
 
@@ -398,8 +413,11 @@ def doc_fused_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None,
     cols = ["doc_id", "spans"] + (["confidence"] if with_confidence else [])
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import spatial_index as _si
+
         t0 = time.monotonic()
         n = 0
+        grid0 = _si.GRID_CALLS
         timers: dict[str, float] = {}
         for pdf in batches:
             rows = []
@@ -421,6 +439,10 @@ def doc_fused_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None,
         # lineage row per phase so lineage_report prints the breakdown
         for phase, ms in sorted(timers.items()):
             _write_lineage_ms(lineage_dir, f"doc_fused/{phase}", n, n, ms)
+        if _si.GRID_CALLS > grid0:
+            _write_lineage_ms(lineage_dir, "doc_fused/grid_pages",
+                              _si.GRID_CALLS - grid0,
+                              _si.GRID_CALLS - grid0, 0.0)
 
     return docs_df.mapInPandas(
         fn, SPANS_CONF_SCHEMA if with_confidence else SPANS_OUT_SCHEMA
