@@ -271,6 +271,23 @@ def main() -> None:
         t0 = time.monotonic()
         qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
         results[name] = round(time.monotonic() - t0, 3)
+
+    # ANN quality at the bench SF (VERDICT r4 #8): recall@5 of the two
+    # approximate paths vs the exact brute-force top-k over the SAME
+    # query set. Chance level is k/N (~0.001 at sf0.1), so anything
+    # above ~0.2 is meaningfully structural; recorded, not gated.
+    exact_nn = {
+        (r["query_id"], r["nbr_id"])
+        for r in qs["embedding_cosine_topk"](spark, SF_DIR).collect()
+    }
+    ann_recall = {}
+    if exact_nn:
+        for name in ("embedding_lsh_ann", "embedding_ivf_ann"):
+            approx = {
+                (r["query_id"], r["nbr_id"])
+                for r in qs[name](spark, SF_DIR).collect()
+            }
+            ann_recall[name] = round(len(approx & exact_nn) / len(exact_nn), 3)
     spark.stop()
 
     # noise-free reference point: serial kernel cost per document (no
@@ -312,6 +329,7 @@ def main() -> None:
         "cores_4N": big,
         "cores_N": small,
         "sf1_skew_leg": sf1,
+        "ann_recall_at_5": ann_recall,
     }
     print(json.dumps(out))
 

@@ -229,29 +229,65 @@ def lsh_topk(
     n_planes: int = 6,
     round_to: int = 5,
     dim: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine within matching LSH buckets only."""
-    b = hyperplane_buckets(emb, n_planes, dim=_require_dim(dim))
-    base = b.select(
+    """Approximate top-k: exact cosine within matching LSH buckets only.
+
+    ``n_tables`` > 1 is the textbook multi-table LSH: table t hashes
+    with planes [t*n_planes, (t+1)*n_planes); a candidate matches if it
+    shares a bucket in ANY table (per-pair hit probability
+    1-(1-p^planes)^tables, p = 1-θ/π). Scale shape: the corpus explodes
+    ×tables into (table, bucket) keys and equi-joins the broadcast query
+    side; duplicates collapse in one (query_id, nbr_id)-keyed
+    aggregation before the per-query top-k. Pick n_planes ≈
+    log2(N/target_bucket) as the corpus grows; recall is bought with
+    tables, not bucket coarseness."""
+    dim = _require_dim(dim)
+    base0 = emb.select(
         F.col("vec_id").alias("nbr_id"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
-        "bucket",
     )
-    queries = base.filter(F.col("nbr_id").isin(query_ids)).select(
+
+    def bucket_expr(t: int):
+        b = None
+        for i, w in enumerate(
+            plane_weights(n_planes, dim, offset=t * n_planes)
+        ):
+            bit = F.when(_dot_lit(F.col("v"), w) > 0,
+                         F.lit(1 << i)).otherwise(F.lit(0))
+            b = bit if b is None else b + bit
+        return b
+
+    tb = base0.select(
+        "nbr_id", "v",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("table"), bucket_expr(t).alias("bucket"))
+            for t in range(n_tables)
+        ])).alias("tb"),
+    ).select("nbr_id", "v", "tb.table", "tb.bucket")
+    queries = tb.filter(F.col("nbr_id").isin(query_ids)).select(
         F.col("nbr_id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("bucket").alias("qbucket"),
+        F.col("table").alias("qtable"), F.col("bucket").alias("qbucket"),
     )
-    scored = (
-        base.join(F.broadcast(queries), F.col("bucket") == F.col("qbucket"))
+    cand = (
+        tb.join(
+            F.broadcast(queries),
+            (F.col("table") == F.col("qtable"))
+            & (F.col("bucket") == F.col("qbucket")),
+        )
         .filter(F.col("nbr_id") != F.col("query_id"))
         .select(
             "query_id", "nbr_id",
             F.round(_cosine(F.col("qv"), F.col("v")), round_to).alias("cosine"),
         )
+        # a pair can match in several tables — collapse to one row (all
+        # duplicates carry the identical cosine; min is deterministic)
+        .groupBy("query_id", "nbr_id")
+        .agg(F.min("cosine").alias("cosine"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "rk", "nbr_id", "cosine")
     )
