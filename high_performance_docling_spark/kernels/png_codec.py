@@ -69,6 +69,40 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline PNG filters (RFC 2083 §6): ``raw`` is (h,
+    1+stride) with the filter byte in column 0. Shared by decode_png and
+    the APNG frame decoder."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype, line = raw[y, 0], raw[y, 1:].copy()
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 1:  # Sub: left neighbor — inherently sequential
+            for x in range(stride):
+                left = out[y, x - bpp] if x >= bpp else 0
+                out[y, x] = (int(line[x]) + int(left)) & 0xFF
+        elif ftype == 2:  # Up
+            out[y] = line + prev
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(out[y, x - bpp]) if x >= bpp else 0
+                out[y, x] = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = int(out[y, x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                out[y, x] = (
+                    int(line[x]) + int(_paeth(
+                        np.uint8(left), prev[x], np.uint8(ul)
+                    ))
+                ) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+    return out
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → uint8 array (H,W) grey or (H,W,3) RGB. Supports color
     types 0/2, bit depth 8, non-interlaced, all five scanline filters."""
@@ -102,34 +136,6 @@ def decode_png(data: bytes) -> np.ndarray:
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
     if raw.size != h * (1 + stride):
         raise ValueError("IDAT size mismatch")
-    raw = raw.reshape(h, 1 + stride)
-    out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
-    for y in range(h):
-        ftype, line = raw[y, 0], raw[y, 1:].copy()
-        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
-        if ftype == 0:
-            out[y] = line
-        elif ftype == 1:  # Sub: left neighbor — inherently sequential
-            for x in range(stride):
-                left = out[y, x - bpp] if x >= bpp else 0
-                out[y, x] = (int(line[x]) + int(left)) & 0xFF
-        elif ftype == 2:  # Up
-            out[y] = line + prev
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                left = int(out[y, x - bpp]) if x >= bpp else 0
-                out[y, x] = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                left = int(out[y, x - bpp]) if x >= bpp else 0
-                ul = int(prev[x - bpp]) if x >= bpp else 0
-                out[y, x] = (
-                    int(line[x]) + int(_paeth(
-                        np.uint8(left), prev[x], np.uint8(ul)
-                    ))
-                ) & 0xFF
-        else:
-            raise ValueError(f"bad filter type {ftype}")
+    out = _unfilter(raw.reshape(h, 1 + stride), h, stride, channels)
     img = out.reshape(h, w, channels)
     return img[:, :, 0] if channels == 1 else img

@@ -9,10 +9,14 @@ deterministic corpus of real PNG payloads for it. The AUDIO codec path
 is real too: ``synth_wav_media`` emits actual RIFF/WAVE 16-bit-PCM
 payloads (kernels/wav_codec.py, stdlib wave) and both
 ``decode_media_batch(real_codecs=True)`` and ``audio_feature_batch``
-operate on the DECODED samples. Video decode remains the one stubbed
-seam (no ffmpeg in this container): ``decode_media_batch`` raises
-``NotImplementedError`` when a real-codec run meets a video payload, so
-a production deployment plugs ffmpeg into exactly one function.
+operate on the DECODED samples. The VIDEO path is real for APNG clips:
+``synth_apng_media`` emits actual animated-PNG payloads
+(kernels/apng_codec.py) and ``decode_media_batch(real_codecs=True)``
+decodes them frame-by-frame (frame sampling uses the DECODED frame
+count). The one remaining seam is foreign video containers
+(H.264/VP9 in mp4/webm): ``decode_media_batch`` raises
+``NotImplementedError`` for non-APNG video payloads, so a production
+deployment plugs ffmpeg into exactly one branch.
 
 Reference analogue: figure crops as content-addressed refs
 (document_assembler.py:62-90) and image batches through model stages
@@ -112,6 +116,43 @@ def synth_png_media(docs_df: DataFrame) -> DataFrame:
                         "payload": encode_png(img),
                         "meta": {"width": w, "height": h,
                                  "n_frames": None, "sample_rate": None},
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "payload", "meta"]
+            )
+
+    return docs_df.select("doc_id").mapInPandas(fn, MEDIA_SCHEMA)
+
+
+def synth_apng_media(docs_df: DataFrame) -> DataFrame:
+    """Deterministic REAL-VIDEO media table: every row is an APNG clip
+    (kernels/apng_codec.py) of doc_id-seeded 32x24 greyscale frames —
+    frame f's gradient phase advances with f, so frame sampling over the
+    DECODED animation is meaningful. n_frames matches synth_media's
+    doc_id % 90 + 10 formula."""
+    from ..kernels.apng_codec import encode_apng
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = did % 90 + 10
+                yy, xx = np.mgrid[0:24, 0:32]
+                frames = np.stack([
+                    ((xx * 3 + yy * 7 + did + 11 * f) % 251).astype(np.uint8)
+                    for f in range(n)
+                ])
+                rows.append(
+                    {
+                        "media_id": did,
+                        "media_type": "video",
+                        "payload": encode_apng(frames),
+                        "meta": {"width": 32, "height": 24,
+                                 "n_frames": n, "sample_rate": None},
                     }
                 )
             yield pd.DataFrame(
@@ -244,6 +285,7 @@ def decode_media_batch(df: DataFrame, real_codecs: bool = False) -> DataFrame:
                 pdf["media_id"], pdf["media_type"], pdf["payload"], pdf["meta"]
             ):
                 data = bytes(payload)
+                n_frames = (meta or {}).get("n_frames") or 0
                 if real_codecs:
                     if mtype == "image":
                         from ..kernels.png_codec import decode_png
@@ -253,12 +295,19 @@ def decode_media_batch(df: DataFrame, real_codecs: bool = False) -> DataFrame:
                         from ..kernels.wav_codec import decode_wav
 
                         data = decode_wav(data)[0].tobytes()
+                    elif data[:8] == b"\x89PNG\r\n\x1a\n":
+                        # video as APNG: decode the real animation; frame
+                        # count comes from the DECODED stream, not meta
+                        from ..kernels.apng_codec import decode_apng
+
+                        decoded, _ = decode_apng(data)
+                        n_frames = decoded.shape[0]
+                        data = decoded.tobytes()
                     else:
                         raise NotImplementedError(
-                            "real video decode requires ffmpeg — "
-                            "not in this container"
+                            "real video decode beyond APNG requires "
+                            "ffmpeg — not in this container"
                         )
-                n_frames = (meta or {}).get("n_frames") or 0
                 # frame sampling: every 10th frame, deterministic
                 frames = (
                     ",".join(str(i) for i in range(0, int(n_frames), 10))
