@@ -264,6 +264,63 @@ def test_postfilter_detections():
     assert postfilter_detections(out, 612.0, 792.0) == out
 
 
+def test_select_best_big_group_vectorized_parity():
+    """The >64-member vectorized exclusion scan in _select_best must pick
+    EXACTLY the cluster the reference pairwise loop picks — property-
+    checked over random groups straddling the cutover, including
+    LIST_ITEM/CODE members (which keep the loop path) and zero-area
+    boxes."""
+    import random as _random
+
+    from high_performance_docling_spark.kernels.layout_postprocess import (
+        _select_best,
+        _should_prefer,
+    )
+    from high_performance_docling_spark.labels import OVERLAP_PARAMS
+
+    def reference_select(group, params):
+        best = None
+        for candidate in group:
+            if any(
+                other is not candidate
+                and not _should_prefer(candidate, other, params)
+                for other in group
+            ):
+                continue
+            if best is None:
+                best = candidate
+            elif (
+                (candidate["r"] - candidate["l"]) * (candidate["b"] - candidate["t"])
+                > (best["r"] - best["l"]) * (best["b"] - best["t"])
+                and best["confidence"] - candidate["confidence"]
+                <= params["conf_threshold"]
+            ):
+                best = candidate
+        return best if best is not None else group[0]
+
+    rng = _random.Random(99)
+    labels = ["text", "formula", "list_item", "code", "section_header"]
+    for trial in range(40):
+        n = rng.choice([3, 64, 65, 80, 200])
+        group = []
+        for i in range(n):
+            l, t = rng.uniform(0, 500), rng.uniform(0, 700)
+            w = rng.choice([0.0, rng.uniform(0.5, 200)])
+            h = rng.uniform(0.5, 60)
+            group.append({
+                "id": i,
+                "label": rng.choice(labels),
+                "l": l, "t": t, "r": l + w, "b": t + h,
+                "confidence": round(rng.uniform(0.3, 1.0), 3),
+                "cells": [], "children": [],
+            })
+        for family in ("regular", "picture", "wrapper"):
+            params = OVERLAP_PARAMS[family]
+            assert _select_best(group, params) is reference_select(group, params), (
+                trial, family, n,
+            )
+
+
 def test_grid_index_edges_match_dense_mask():
     """Grid candidate pruning must yield EXACTLY the dense pairwise
     mask's edge set (same thresholds/epsilon), on dense random boxes."""
