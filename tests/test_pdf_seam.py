@@ -276,6 +276,29 @@ def test_pdf15_hybrid_classic_trailer_with_xrefstm():
     assert len(spans) == 6
 
 
+def test_pdf_incremental_update_prev_chain():
+    """Incremental-update file (ISO 32000 §7.5.6): an appended body
+    replaces page 2's content stream via a new xref section whose
+    trailer /Prev points at the original table. The updated object must
+    win; everything else resolves through the chain."""
+    base = _build_pdf()
+    new_content = b"BT /F1 12 Tf 72 700 Td (updated page two) Tj ET"
+    update_obj = _stream_obj(6, new_content)
+    out = base + update_obj
+    xref_pos = len(out)
+    orig_xref = int(base.rsplit(b"startxref\n", 1)[1].split(b"\n")[0])
+    out += (
+        b"xref\n6 1\n%010d 00000 n \n"
+        b"trailer\n<< /Size 8 /Root 1 0 R /Prev %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (len(base), orig_xref, xref_pos)
+    )
+    spans = extract_pdf_spans(out)
+    texts = [s["text"] for s in spans]
+    assert "updated page two" in texts
+    assert "Hello compressed page two" not in texts
+    assert len(spans) == 6  # page 1 untouched
+
+
 def test_pdf_parser_fuzz_no_hangs_or_foreign_exceptions():
     """ADVICE r4 stretch: hypothesis-mutate the modern fixture — byte
     flips, truncations, splices — and assert the parser either returns

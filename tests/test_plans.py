@@ -155,6 +155,25 @@ def test_cms_sketch_is_broadcast_corpus_aggregated_once(spark):
     assert "Window" not in tail, "window below the top-k — global rank over the estimate table"
 
 
+def test_audio_features_single_python_stage_no_shuffle(spark):
+    # codec + feature extraction fuse into Arrow-batched Python stages;
+    # the only exchange is the presentation orderBy (range), never a
+    # hash shuffle of the corpus
+    p = plan(spark, "audio_features")
+    assert "MapInPandas" in p
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_lsh_ann_multi_table_is_equi_join(spark):
+    # the 12-table union must stay a broadcast hash equi-join on
+    # (table, bucket) — no nested-loop fallback from the OR-shape —
+    # and candidate dedup is one keyed aggregation
+    p = plan(spark, "embedding_lsh_ann")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
 def test_events_funnel_all_stages_keyed_on_user(spark):
     p = plan(spark, "events_funnel")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
