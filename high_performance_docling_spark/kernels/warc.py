@@ -1,0 +1,170 @@
+"""Pure-Python WARC (ISO 28500) reader/writer — the web-archive
+container a web-scale training pipeline actually ingests (Common Crawl
+ships WARC). Records are
+``WARC/1.0`` + CRLF header lines + blank line + Content-Length payload
+block + CRLF CRLF; files are either plain concatenated records or (the
+Common Crawl convention) one gzip member per record, concatenated.
+
+This module parses both forms and extracts HTTP-response payload bodies,
+so WARC → (url, html/pdf bytes) → the engine's existing
+format-sniffing extraction seam (sources.extract_fetched_documents) is
+one narrow pipeline. The writer exists for deterministic fixtures and
+as an archive sink.
+
+Reference analogue: none (the reference starts at a URL manifest,
+main.py:29-42); WARC is part of this engine's training-data extension
+surface.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Any
+
+_CRLF = b"\r\n"
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Concatenated gzip members → concatenated plaintext (Common Crawl
+    writes one member per record)."""
+    out = []
+    rest = data
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(rest))
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member: {e}") from e
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        rest = d.unused_data
+    if rest.strip(b"\r\n\x00"):
+        raise ValueError("trailing garbage after gzip members")
+    return b"".join(out)
+
+
+def parse_warc(data: bytes) -> list[dict[str, Any]]:
+    """WARC bytes (plain or member-gzipped) → list of records:
+    {warc_type, uri, date, record_id, content_type, block}. Raises
+    ValueError on malformed input (bad version line, missing
+    Content-Length, truncated block)."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    records: list[dict[str, Any]] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while pos < n and data[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        eol = data.find(_CRLF, pos)
+        if eol < 0 or not data[pos:eol].startswith(b"WARC/"):
+            raise ValueError(f"expected WARC version line at offset {pos}")
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        while True:
+            eol = data.find(_CRLF, pos)
+            if eol < 0:
+                raise ValueError("unterminated WARC header block")
+            line = data[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            key, sep, val = line.partition(b":")
+            if not sep:
+                raise ValueError(f"malformed WARC header line {line!r}")
+            headers[key.strip().lower().decode("latin-1")] = (
+                val.strip().decode("latin-1")
+            )
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError) as e:
+            raise ValueError("missing/bad Content-Length") from e
+        block = data[pos:pos + length]
+        if len(block) != length:
+            raise ValueError("truncated record block")
+        pos += length
+        records.append(
+            {
+                "warc_type": headers.get("warc-type", ""),
+                "uri": headers.get("warc-target-uri", ""),
+                "date": headers.get("warc-date", ""),
+                "record_id": headers.get("warc-record-id", ""),
+                "content_type": headers.get("content-type", ""),
+                "block": block,
+            }
+        )
+    return records
+
+
+def http_response_body(block: bytes) -> tuple[bytes, str]:
+    """HTTP-response record block → (body bytes, Content-Type header).
+    Raises ValueError when the block is not an HTTP response."""
+    if not block.startswith(b"HTTP/"):
+        raise ValueError("record block is not an HTTP response")
+    head, sep, body = block.partition(b"\r\n\r\n")
+    if not sep:
+        raise ValueError("HTTP response without header terminator")
+    ctype = ""
+    for line in head.split(_CRLF)[1:]:
+        key, s, val = line.partition(b":")
+        if s and key.strip().lower() == b"content-type":
+            ctype = val.strip().decode("latin-1")
+    return body, ctype
+
+
+def response_documents(data: bytes) -> list[dict[str, Any]]:
+    """WARC bytes → the fetchable documents inside: one dict
+    {url, content_type, payload} per well-formed ``response`` record
+    (non-response records and non-HTTP blocks are skipped, as a crawl
+    processor does)."""
+    docs = []
+    for rec in parse_warc(data):
+        if rec["warc_type"] != "response":
+            continue
+        try:
+            body, ctype = http_response_body(rec["block"])
+        except ValueError:
+            continue
+        docs.append({"url": rec["uri"], "content_type": ctype, "payload": body})
+    return docs
+
+
+def build_warc(records: list[dict[str, Any]], gzip_members: bool = False) -> bytes:
+    """Deterministic WARC writer (fixtures + archive sink). ``records``:
+    dicts with warc_type, uri, block (bytes) and optional date/
+    content_type. gzip_members=True emits the Common Crawl one-member-
+    per-record layout."""
+    out = []
+    for i, rec in enumerate(records):
+        headers = [
+            b"WARC/1.0",
+            b"WARC-Type: " + rec["warc_type"].encode(),
+            b"WARC-Record-ID: <urn:uuid:%08d>" % i,
+            b"WARC-Date: " + rec.get("date", "2026-01-01T00:00:00Z").encode(),
+        ]
+        if rec.get("uri"):
+            headers.append(b"WARC-Target-URI: " + rec["uri"].encode())
+        if rec.get("content_type"):
+            headers.append(b"Content-Type: " + rec["content_type"].encode())
+        block = rec["block"]
+        headers.append(b"Content-Length: %d" % len(block))
+        raw = _CRLF.join(headers) + _CRLF + _CRLF + block + _CRLF + _CRLF
+        if gzip_members:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            raw = co.compress(raw) + co.flush()
+        out.append(raw)
+    return b"".join(out)
+
+
+def http_response_block(body: bytes, content_type: str,
+                        status: str = "200 OK") -> bytes:
+    """Wrap a payload as the HTTP-response block of a WARC response
+    record (fixture helper)."""
+    return (
+        b"HTTP/1.1 " + status.encode() + _CRLF
+        + b"Content-Type: " + content_type.encode() + _CRLF
+        + b"Content-Length: %d" % len(body) + _CRLF + _CRLF
+        + body
+    )

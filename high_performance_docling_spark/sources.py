@@ -139,6 +139,68 @@ def extract_fetched_documents(fetched_df: DataFrame) -> DataFrame:
     return fetched_df.mapInPandas(fn, SPANS_OUT_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# WARC (Common Crawl) source → the same span contract
+# --------------------------------------------------------------------------
+
+WARC_DOC_SCHEMA = (
+    "doc_id string, warc_path string, url string, content_type string, "
+    "n_bytes int, payload binary"
+)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC files → one row per file (path, content). binaryFile keeps a
+    whole archive per task — correct for Common Crawl's ~1 GB segment
+    files (one task per segment; parallelism = segment count, which at
+    crawl scale is tens of thousands). Offset-indexed splitting (CDX) is
+    the production optimization when individual archives outgrow a
+    task."""
+    return spark.read.format("binaryFile").load(path)
+
+
+def warc_response_documents(warc_df: DataFrame) -> DataFrame:
+    """(path, content) WARC rows → one row per well-formed HTTP response
+    record: (doc_id, warc_path, url, content_type, n_bytes, payload).
+    Narrow mapInPandas (no shuffle); doc_id = safe_id(url):record_ix is
+    stable across re-reads of the same archive."""
+    def fn(batches):
+        import pandas as pd
+
+        from .kernels.warc import response_documents
+        from .util import safe_id
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for ix, doc in enumerate(response_documents(bytes(content))):
+                    rows.append(
+                        {
+                            "doc_id": f"{safe_id(doc['url'])}:{ix}",
+                            "warc_path": path,
+                            "url": doc["url"],
+                            "content_type": doc["content_type"],
+                            "n_bytes": len(doc["payload"]),
+                            "payload": doc["payload"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "warc_path", "url", "content_type",
+                         "n_bytes", "payload"],
+            )
+
+    return warc_df.select("path", "content").mapInPandas(fn, WARC_DOC_SCHEMA)
+
+
+def extract_warc_documents(warc_df: DataFrame) -> DataFrame:
+    """WARC file rows → ordered spans: response-record fan-out, then the
+    SAME format-sniffing extraction stage the URL-manifest path uses
+    (PDF parser / HTML boilerplate strip). Two chained narrow stages —
+    crawl archives to training spans with zero shuffles."""
+    return extract_fetched_documents(warc_response_documents(warc_df))
+
+
 def extract_fetched_pdfs(fetched_df: DataFrame) -> DataFrame:
     """Distributed PDF-bytes → ordered-spans stage: the S1 contract on
     REAL (non-synthetic) input. Consumes fetch_documents output

@@ -1,0 +1,116 @@
+"""WARC (ISO 28500) source: parser round-trip, Common Crawl gzip-member
+layout, and the WARC → response fan-out → format-sniffing extraction
+pipeline to ordered spans."""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from high_performance_docling_spark.kernels.warc import (
+    build_warc,
+    http_response_block,
+    http_response_body,
+    parse_warc,
+    response_documents,
+)
+
+HTML = (b"<html><head><title>t</title></head><body>"
+        b"<h1>Crawl Heading</h1><p>First crawled paragraph of text that "
+        b"is long enough to keep.</p><nav>menu junk</nav></body></html>")
+
+
+def _fixture_records(pdf_bytes=b""):
+    recs = [
+        {"warc_type": "warcinfo", "uri": "",
+         "content_type": "application/warc-fields",
+         "block": b"software: test\r\n"},
+        {"warc_type": "request", "uri": "http://ex.com/a",
+         "content_type": "application/http; msgtype=request",
+         "block": b"GET /a HTTP/1.1\r\nHost: ex.com\r\n\r\n"},
+        {"warc_type": "response", "uri": "http://ex.com/a",
+         "content_type": "application/http; msgtype=response",
+         "block": http_response_block(HTML, "text/html; charset=utf-8")},
+        {"warc_type": "response", "uri": "http://ex.com/weird",
+         "content_type": "application/http; msgtype=response",
+         "block": b"not an http response at all"},  # skipped
+    ]
+    if pdf_bytes:
+        recs.append(
+            {"warc_type": "response", "uri": "http://ex.com/doc.pdf",
+             "content_type": "application/http; msgtype=response",
+             "block": http_response_block(pdf_bytes, "application/pdf")}
+        )
+    return recs
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_parse_roundtrip(gz):
+    data = build_warc(_fixture_records(), gzip_members=gz)
+    recs = parse_warc(data)
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo", "request", "response", "response"]
+    assert recs[2]["uri"] == "http://ex.com/a"
+    body, ctype = http_response_body(recs[2]["block"])
+    assert body == HTML and ctype.startswith("text/html")
+
+
+def test_response_documents_skips_non_http_and_non_response():
+    docs = response_documents(build_warc(_fixture_records(), gzip_members=True))
+    assert len(docs) == 1
+    assert docs[0]["url"] == "http://ex.com/a"
+    assert docs[0]["payload"] == HTML
+
+
+def test_malformed_inputs_raise_valueerror():
+    with pytest.raises(ValueError):
+        parse_warc(b"NOT A WARC\r\n\r\n")
+    ok = build_warc(_fixture_records())
+    with pytest.raises(ValueError):
+        parse_warc(ok[: len(ok) - 40])  # truncated block
+    with pytest.raises(ValueError):
+        parse_warc(b"\x1f\x8b" + b"garbage")
+
+
+@settings(max_examples=100, deadline=None)
+@given(start=st.integers(0, 500), payload=st.binary(max_size=32),
+       truncate=st.integers(1, 600))
+def test_parser_fuzz_only_valueerror(start, payload, truncate):
+    base = build_warc(_fixture_records(), gzip_members=False)
+    mutated = (base[:start] + payload + base[start + len(payload):])[:truncate]
+    try:
+        parse_warc(mutated)
+    except ValueError:
+        pass
+
+
+def test_warc_to_spans_through_spark(spark, tmp_path):
+    """The full source path: WARC file on disk → read_warc →
+    response fan-out → format-sniffed extraction → ordered spans, for
+    BOTH an HTML and a (modern, xref-stream) PDF payload."""
+    from tests.test_pdf_seam import _build_pdf_15
+
+    from high_performance_docling_spark.sources import (
+        extract_warc_documents,
+        read_warc,
+        warc_response_documents,
+    )
+
+    pdf = _build_pdf_15()
+    warc_path = tmp_path / "seg-00000.warc.gz"
+    warc_path.write_bytes(
+        build_warc(_fixture_records(pdf_bytes=pdf), gzip_members=True)
+    )
+    files = read_warc(spark, str(tmp_path))
+    docs = warc_response_documents(files)
+    got_docs = {r["doc_id"]: r for r in docs.collect()}
+    assert len(got_docs) == 2
+    out = {r["doc_id"]: [(s["kind"], s["text"], s["order"]) for s in r["spans"]]
+           for r in extract_warc_documents(files).collect()}
+    html_doc = [k for k in out if "ex.com_a" in k][0]
+    pdf_doc = [k for k in out if "doc.pdf" in k][0]
+    kinds = [k for k, _, _ in out[html_doc]]
+    assert "section_header" in kinds  # <h1> survived the boilerplate strip
+    texts = [t for _, t, _ in out[html_doc]]
+    assert any("First crawled paragraph" in t for t in texts)
+    assert not any("menu junk" in t for t in texts)  # <nav> stripped
+    assert out[pdf_doc][0] == ("section_header", "Engine Report", 0)
+    assert len(out[pdf_doc]) == 6
