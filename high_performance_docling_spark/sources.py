@@ -139,6 +139,41 @@ def extract_fetched_documents(fetched_df: DataFrame) -> DataFrame:
     return fetched_df.mapInPandas(fn, SPANS_OUT_SCHEMA)
 
 
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    id_field: str = "id",
+    text_field: str = "text",
+    source_field: str | None = None,
+) -> DataFrame:
+    """JSONL(.gz) text corpus (the Pile/C4-style layout) → the
+    (doc_id, source, text) shape every text-analysis/dedup operator
+    consumes. Spark's json reader handles gzip transparently and splits
+    uncompressed files; schema is inferred once then projected (column
+    pruning pushes into the scan). Missing id falls back to a
+    content+position-free md5 of the text (append-stable)."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.json(path)
+    cols = set(raw.columns)
+    if id_field in cols:
+        # PER-ROW fallback: rows missing an id get md5(text)
+        doc_id = F.coalesce(F.col(id_field).cast("string"),
+                            F.md5(F.col(text_field)))
+    else:
+        doc_id = F.md5(F.col(text_field))
+    src = (
+        F.col(source_field).cast("string")
+        if source_field and source_field in cols
+        else F.lit("jsonl")
+    )
+    return raw.select(
+        doc_id.alias("doc_id"),
+        src.alias("source"),
+        F.col(text_field).cast("string").alias("text"),
+    )
+
+
 # --------------------------------------------------------------------------
 # WARC (Common Crawl) source → the same span contract
 # --------------------------------------------------------------------------

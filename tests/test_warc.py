@@ -82,6 +82,36 @@ def test_parser_fuzz_only_valueerror(start, payload, truncate):
         pass
 
 
+def test_jsonl_corpus_source(spark, tmp_path):
+    """Pile/C4-style JSONL(.gz) ingestion → (doc_id, source, text) that
+    the text-analysis operators consume directly."""
+    import gzip
+    import json
+
+    from high_performance_docling_spark.operators.text_analysis import (
+        token_counts,
+    )
+    from high_performance_docling_spark.sources import read_jsonl_corpus
+
+    rows = [
+        {"id": "a1", "text": "alpha beta gamma", "src": "web"},
+        {"id": "a2", "text": "delta epsilon", "src": "books"},
+        {"text": "no id here at all"},
+    ]
+    p = tmp_path / "part-0.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    docs = read_jsonl_corpus(spark, str(tmp_path), source_field="src")
+    got = {r["doc_id"]: r for r in docs.collect()}
+    assert got["a1"]["source"] == "web" and got["a1"]["text"] == "alpha beta gamma"
+    assert got["a2"]["source"] == "books"
+    anon = [k for k in got if k not in ("a1", "a2")]
+    assert len(anon) == 1 and len(anon[0]) == 32  # md5 fallback id
+    toks = {r["doc_id"]: r["n_tokens"] for r in token_counts(docs).collect()}
+    assert toks["a1"] == 3 and toks["a2"] == 2
+
+
 def test_warc_to_spans_through_spark(spark, tmp_path):
     """The full source path: WARC file on disk → read_warc →
     response fan-out → format-sniffed extraction → ordered spans, for
