@@ -64,6 +64,49 @@ def stream_extract_spans(
     )
 
 
+def stream_extract_warc(
+    spark: SparkSession,
+    warc_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+    idempotent: bool = False,
+):
+    """Continuous crawl ingestion: WARC archives landing in a directory
+    (the Common Crawl delivery shape) stream through the SAME batch
+    operators — response-record fan-out → format-sniffing extraction →
+    ordered spans — via foreachBatch. binaryFile is a supported
+    streaming file source, so each new archive is one input row and one
+    task; ``idempotent=True`` commits through iceberg.merge_commit so a
+    retried micro-batch replaces its previous attempt (read back with
+    iceberg.read_committed)."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(warc_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        from ..sources import extract_warc_documents
+
+        out = extract_warc_documents(batch_df)
+        if idempotent:
+            from ..iceberg import merge_commit
+
+            merge_commit(out, output_dir, batch_id)
+        else:
+            out.write.mode("append").parquet(output_dir)
+
+    return (
+        files.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_extract_fetched(
     spark: SparkSession,
     manifest_dir: str,

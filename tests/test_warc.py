@@ -82,6 +82,47 @@ def test_parser_fuzz_only_valueerror(start, payload, truncate):
         pass
 
 
+def test_stream_extract_warc_equals_batch(spark, tmp_path):
+    """Continuous crawl ingestion: two WARC archives landing as a stream
+    produce EXACTLY the batch path's spans, through the idempotent
+    commit (read back via read_committed; bookkeeping stripped)."""
+    from high_performance_docling_spark.iceberg import read_committed
+    from high_performance_docling_spark.sources import (
+        extract_warc_documents,
+        read_warc,
+    )
+    from high_performance_docling_spark.streaming.extract import (
+        stream_extract_warc,
+    )
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    (src / "seg-0.warc.gz").write_bytes(
+        build_warc(_fixture_records(), gzip_members=True))
+    (src / "seg-1.warc").write_bytes(
+        build_warc([
+            {"warc_type": "response", "uri": "http://ex.com/b",
+             "content_type": "application/http; msgtype=response",
+             "block": http_response_block(HTML, "text/html")},
+        ]))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_extract_warc(spark, str(src), out, ckpt,
+                            max_files_per_trigger=1, idempotent=True)
+    q.awaitTermination(120)
+
+    def norm(df):
+        return {
+            r["doc_id"]: [(s["kind"], s["text"], s["order"])
+                          for s in r["spans"]]
+            for r in df.collect()
+        }
+
+    got = norm(read_committed(spark, out))
+    want = norm(extract_warc_documents(read_warc(spark, str(src))))
+    assert got == want and len(got) == 2
+    assert "batch_id" not in read_committed(spark, out).columns
+
+
 def test_jsonl_corpus_source(spark, tmp_path):
     """Pile/C4-style JSONL(.gz) ingestion → (doc_id, source, text) that
     the text-analysis operators consume directly."""
