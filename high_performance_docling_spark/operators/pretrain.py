@@ -1,0 +1,97 @@
+"""End-to-end pretraining-corpus preparation — the composition that
+turns a raw document table into training-ready packed sequences, wiring
+the individually-oracled operators in the order a production pipeline
+runs them:
+
+    quality gate (Gopher rules) → PII scrub → benchmark decontamination
+    → exact dedup → train/val/test split → chunk → sequence-pack
+
+Every stage is one of the tested operators (text_analysis.gopher_quality,
+cleaning.scrub_pii / decontaminate, dedup.exact_duplicates,
+chunking.chunk_documents / pack_chunks, the md5 98/1/1 split), so the
+composition inherits their scale shapes: pure projections + hash
+aggregations + broadcast joins; the only corpus-keyed shuffles are the
+dedup groupBy and the packing's per-bucket window. Deterministic
+throughout — rerunning on a grown corpus never flips earlier split or
+keep decisions (md5-keyed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .chunking import bucket_of, chunk_documents, pack_chunks
+from .cleaning import decontaminate, scrub_pii
+from .dedup import exact_duplicates
+from .text_analysis import gopher_quality
+
+
+def prepare_pretrain_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    chunk_size: int = 128,
+    overlap: int = 32,
+    pack_capacity: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[str, DataFrame]:
+    """Raw (doc_id, text) table → {"documents": kept docs with split,
+    "chunks": packed chunk rows, "audit": per-stage keep flags}.
+
+    ``audit`` carries one row per input document with every gate's
+    verdict (gopher_pass, contaminated, is_duplicate, split) so drops
+    are explainable — the operational requirement for any filter that
+    deletes training data.
+    """
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("text"))
+
+    quality = gopher_quality(base).select("doc_id", "gopher_pass")
+
+    scrubbed = scrub_pii(base).select("doc_id", "text", "clean_text")
+
+    if benchmark is not None:
+        contam = decontaminate(
+            scrubbed.select("doc_id", F.col("clean_text").alias("text")),
+            benchmark,
+        ).select("doc_id", "contaminated")
+    else:
+        contam = base.select("doc_id", F.lit(0).alias("contaminated"))
+
+    # exact dedup on the SCRUBBED text (two redacted copies are still
+    # duplicates); keep_id = min doc_id per content hash
+    norm = F.md5(F.lower(F.trim(F.col("clean_text"))))
+    hashed = scrubbed.withColumn("content_hash", norm)
+    keep = exact_duplicates(
+        scrubbed.select("doc_id", F.col("clean_text").alias("text"))
+    ).select("content_hash", "keep_id")
+    deduped = hashed.join(keep, "content_hash").withColumn(
+        "is_duplicate", (F.col("doc_id") != F.col("keep_id")).cast("int")
+    )
+
+    b = bucket_of(F.col("doc_id"), 100)
+    split = F.when(b < 98, "train").when(b < 99, "val").otherwise("test")
+
+    audit = (
+        deduped.select("doc_id", "is_duplicate")
+        .join(quality, "doc_id")
+        .join(contam, "doc_id")
+        .withColumn("split", split)
+    )
+
+    kept = (
+        deduped.filter(F.col("is_duplicate") == 0)
+        .join(quality.filter(F.col("gopher_pass")), "doc_id")
+        .join(contam.filter(F.col("contaminated") == 0), "doc_id")
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .withColumn("split", split)
+    )
+
+    chunks = chunk_documents(
+        kept.select("doc_id", "text"),
+        chunk_size=chunk_size, overlap=overlap,
+    )
+    packed = pack_chunks(chunks, capacity=pack_capacity).join(
+        kept.select("doc_id", "split"), "doc_id"
+    )
+    return {"documents": kept, "chunks": packed, "audit": audit}

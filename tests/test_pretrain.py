@@ -1,0 +1,98 @@
+"""End-to-end pretraining-corpus composition: every gate applied in
+order, audit explains every drop, packing and split deterministic."""
+
+import pytest
+
+from high_performance_docling_spark.operators.pretrain import (
+    prepare_pretrain_corpus,
+)
+
+GOOD = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away to find some more interesting things to read about while "
+        "the sun is high and the grass keeps growing ") * 3  # > 50 words
+
+
+def _docs(spark):
+    rows = [
+        ("keep-1", GOOD + "unique tail one."),
+        ("keep-2", GOOD + "unique tail two."),
+        ("dup-a", GOOD + "duplicated tail."),
+        ("dup-b", GOOD + "duplicated tail."),      # exact duplicate of dup-a
+        ("short", "way too short"),                 # fails gopher word floor
+        ("pii", GOOD + " mail me at alice@example.com for details."),
+        ("contam", GOOD + "this sentence overlaps the benchmark set "
+                   "verbatim for thirteen straight tokens exactly here ok."),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _benchmark(spark):
+    return spark.createDataFrame(
+        [("b1", "this sentence overlaps the benchmark set verbatim for "
+                "thirteen straight tokens exactly here ok.")],
+        ["doc_id", "text"],
+    )
+
+
+def test_pretrain_composition_gates_and_audit(spark):
+    out = prepare_pretrain_corpus(_docs(spark), _benchmark(spark))
+    audit = {r["doc_id"]: r for r in out["audit"].collect()}
+    assert len(audit) == 7  # one audit row per INPUT doc, drops included
+    assert not audit["short"]["gopher_pass"]
+    assert audit["contam"]["contaminated"] == 1
+    assert audit["dup-b"]["is_duplicate"] == 1  # min-id keeps dup-a
+    assert audit["dup-a"]["is_duplicate"] == 0
+
+    kept = {r["doc_id"]: r for r in out["documents"].collect()}
+    assert set(kept) == {"keep-1", "keep-2", "dup-a", "pii"}
+    assert "alice@example.com" not in kept["pii"]["text"]  # scrubbed
+    assert all(r["split"] in ("train", "val", "test") for r in kept.values())
+
+    chunks = out["chunks"].collect()
+    assert chunks and {c["doc_id"] for c in chunks} == set(kept)
+    # packing: bin_id assigned, chunk sizes bounded
+    assert all(c["bin_id"] >= 0 and 0 < c["n_tokens"] <= 128 for c in chunks)
+    # split rides every chunk row and matches the document's
+    for c in chunks:
+        assert c["split"] == kept[c["doc_id"]]["split"]
+
+
+def test_pretrain_composition_deterministic_and_append_stable(spark):
+    """Re-running produces identical keep/split decisions, and adding
+    documents never flips earlier ones (md5-keyed gates)."""
+    first = prepare_pretrain_corpus(_docs(spark), _benchmark(spark))
+    base = {(r["doc_id"], r["split"]) for r in first["documents"].collect()}
+    again = prepare_pretrain_corpus(_docs(spark), _benchmark(spark))
+    assert {(r["doc_id"], r["split"]) for r in again["documents"].collect()} == base
+
+    grown = _docs(spark).union(
+        spark.createDataFrame([("new-doc", GOOD + "fresh content.")],
+                              ["doc_id", "text"])
+    )
+    bigger = prepare_pretrain_corpus(grown, _benchmark(spark))
+    got = {(r["doc_id"], r["split"]) for r in bigger["documents"].collect()}
+    assert base <= got and ("new-doc" in {d for d, _ in got})
+
+
+def test_pretrain_job_cli(spark, tmp_path):
+    docs_path = str(tmp_path / "docs")
+    _docs(spark).write.parquet(docs_path)
+    bench_path = str(tmp_path / "bench")
+    _benchmark(spark).write.parquet(bench_path)
+    out_path = str(tmp_path / "out")
+
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "jobs/pretrain_corpus_job.py",
+         "--docs", docs_path, "--benchmark", bench_path,
+         "--output", out_path, "--shards", "2"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "4 kept" in r.stdout
+    chunks = spark.read.parquet(f"{out_path}/chunks")
+    assert chunks.count() > 0
+    assert set(r["split"] for r in chunks.select("split").distinct().collect()) \
+        <= {"train", "val", "test"}
