@@ -26,6 +26,33 @@ from .dedup import exact_duplicates
 from .text_analysis import gopher_quality
 
 
+def near_duplicate_ids(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
+    """(doc_id) rows to DROP under near-dedup: SimHash pair graph →
+    large-star/small-star connected components → keep the best member
+    per cluster (highest mean token length, ties to lowest id), drop the
+    rest. Same composition as the oracled dedup_representatives query;
+    every stage is a banded equi-join / keyed shuffle."""
+    from pyspark.sql import Window as W
+
+    from . import dedup as DD
+
+    pairs = DD.simhash_band_pairs(DD.simhash(docs, bits=16),
+                                  max_hamming=max_hamming)
+    comps = DD.connected_components_star(pairs)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    q = docs.select(
+        F.col("doc_id").alias("node"),
+        F.round(F.length("text") / F.size(toks), 4).alias("mean_tok_len"),
+    )
+    member = q.join(comps, "node")  # only docs IN a duplicate cluster
+    wr = W.partitionBy("comp").orderBy(F.desc("mean_tok_len"), F.asc("node"))
+    return (
+        member.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") > 1)
+        .select(F.col("node").alias("doc_id"))
+    )
+
+
 def prepare_pretrain_corpus(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
@@ -34,14 +61,19 @@ def prepare_pretrain_corpus(
     pack_capacity: int = 256,
     id_col: str = "doc_id",
     text_col: str = "text",
+    near_dedup: bool = False,
 ) -> dict[str, DataFrame]:
     """Raw (doc_id, text) table → {"documents": kept docs with split,
     "chunks": packed chunk rows, "audit": per-stage keep flags}.
 
     ``audit`` carries one row per input document with every gate's
-    verdict (gopher_pass, contaminated, is_duplicate, split) so drops
-    are explainable — the operational requirement for any filter that
-    deletes training data.
+    verdict (gopher_pass, contaminated, is_duplicate, is_near_duplicate,
+    split) so drops are explainable — the operational requirement for
+    any filter that deletes training data.
+
+    ``near_dedup=True`` adds the SimHash→components→representatives
+    pass after exact dedup (near_duplicate_ids) — the fuzzy-duplicate
+    layer most pretraining corpora need on top of exact hashing.
     """
     base = docs.select(F.col(id_col).alias("doc_id"),
                        F.col(text_col).alias("text"))
@@ -69,18 +101,29 @@ def prepare_pretrain_corpus(
         "is_duplicate", (F.col("doc_id") != F.col("keep_id")).cast("int")
     )
 
+    if near_dedup:
+        near_ids = near_duplicate_ids(
+            scrubbed.select("doc_id", F.col("clean_text").alias("text"))
+        ).withColumn("is_near_duplicate", F.lit(1))
+        deduped = deduped.join(near_ids, "doc_id", "left").withColumn(
+            "is_near_duplicate", F.coalesce("is_near_duplicate", F.lit(0))
+        )
+    else:
+        deduped = deduped.withColumn("is_near_duplicate", F.lit(0))
+
     b = bucket_of(F.col("doc_id"), 100)
     split = F.when(b < 98, "train").when(b < 99, "val").otherwise("test")
 
     audit = (
-        deduped.select("doc_id", "is_duplicate")
+        deduped.select("doc_id", "is_duplicate", "is_near_duplicate")
         .join(quality, "doc_id")
         .join(contam, "doc_id")
         .withColumn("split", split)
     )
 
     kept = (
-        deduped.filter(F.col("is_duplicate") == 0)
+        deduped.filter((F.col("is_duplicate") == 0)
+                       & (F.col("is_near_duplicate") == 0))
         .join(quality.filter(F.col("gopher_pass")), "doc_id")
         .join(contam.filter(F.col("contaminated") == 0), "doc_id")
         .select("doc_id", F.col("clean_text").alias("text"))

@@ -74,6 +74,59 @@ def test_pretrain_composition_deterministic_and_append_stable(spark):
     assert base <= got and ("new-doc" in {d for d, _ in got})
 
 
+def test_pretrain_near_dedup_layer(spark):
+    """near_dedup=True drops fuzzy duplicates (one-word edits) while
+    keeping the highest-quality cluster member; exact path unaffected."""
+    base = GOOD + "identical body with a distinctive ending sentence."
+    near = base.replace("distinctive", "distinctivee")  # 1-token variant
+    # a genuinely different document (disjoint vocabulary — sharing the
+    # GOOD prefix would legitimately put it in the same SimHash cluster)
+    other = ("the oceans and the rivers flow past mountains of ice while "
+             "glaciers carve deserts and canyons near volcanoes with "
+             "islands reefs plains deltas marshes forests in the north ") * 4
+    docs = spark.createDataFrame(
+        [("orig", base), ("variant", near), ("other", other)],
+        ["doc_id", "text"],
+    )
+    out = prepare_pretrain_corpus(docs, near_dedup=True)
+    audit = {r["doc_id"]: r for r in out["audit"].collect()}
+    near_flags = {d: audit[d]["is_near_duplicate"] for d in audit}
+    assert sum(near_flags.values()) == 1  # exactly one of the pair dropped
+    assert near_flags["other"] == 0
+    kept = {r["doc_id"] for r in out["documents"].collect()}
+    assert "other" in kept and len(kept & {"orig", "variant"}) == 1
+
+    # without the flag both variants survive (they are not EXACT dups)
+    out2 = prepare_pretrain_corpus(docs)
+    kept2 = {r["doc_id"] for r in out2["documents"].collect()}
+    assert {"orig", "variant"} <= kept2
+
+
+def test_pretrain_near_dedup_clusters_shared_boilerplate(spark):
+    """Documents that differ only in a short tail after a large shared
+    body land in ONE SimHash cluster — the boilerplate-heavy case the
+    near-dedup layer exists for (all three collapse to the best one)."""
+    docs = spark.createDataFrame(
+        [("a", GOOD + "tail one."), ("b", GOOD + "tail two."),
+         ("c", GOOD + "tail three.")],
+        ["doc_id", "text"],
+    )
+    out = prepare_pretrain_corpus(docs, near_dedup=True)
+    kept = {r["doc_id"] for r in out["documents"].collect()}
+    assert len(kept) == 1
+
+
+def test_pretrain_on_driver_documents_table(spark):
+    """The composition runs over the driver's real documents.parquet
+    shape (doc_id bigint, text, ...) unmodified."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = prepare_pretrain_corpus(docs.select("doc_id", "text"))
+    n_in = docs.count()
+    assert out["audit"].count() == n_in
+    assert 0 < out["documents"].count() <= n_in
+    assert out["chunks"].count() > 0
+
+
 def test_pretrain_job_cli(spark, tmp_path):
     docs_path = str(tmp_path / "docs")
     _docs(spark).write.parquet(docs_path)
