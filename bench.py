@@ -185,11 +185,29 @@ def _run_pinned(cores: int, k: int, variant: str = "sf0",
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     env = dict(os.environ)
+    la0 = _loadavg()
     out = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
+    LOADAVG_LOG.append(
+        {"leg": f"{variant}_{cores}c", "before_1m": la0, "after_1m": _loadavg()}
+    )
     for line in reversed(out.stdout.splitlines()):
         if line.startswith("EXTRACT_SAMPLES"):
             return [float(x) for x in line.split()[1:]]
     raise RuntimeError(f"child failed: {out.stdout[-2000:]} {out.stderr[-2000:]}")
+
+
+# co-tenancy sentinel: 1-minute loadavg around every pinned leg, persisted
+# in the JSON so a contaminated leg (run-3 signature: a 16c leg outrunning
+# the 32c leg) is diagnosable from the artifact, not by inference
+LOADAVG_LOG: list[dict] = []
+
+
+def _loadavg() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError):
+        return -1.0
 
 
 def main() -> None:
@@ -330,6 +348,7 @@ def main() -> None:
         "cores_N": small,
         "sf1_skew_leg": sf1,
         "ann_recall_at_5": ann_recall,
+        "loadavg_per_leg": LOADAVG_LOG,
     }
     print(json.dumps(out))
 
