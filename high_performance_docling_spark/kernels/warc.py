@@ -131,6 +131,87 @@ def response_documents(data: bytes) -> list[dict[str, Any]]:
     return docs
 
 
+def cdx_index(data: bytes) -> list[dict[str, Any]]:
+    """CDX-style offset index of a WARC file: one row per record with
+    {offset, length, warc_type, uri} — for the member-gzipped layout,
+    offset/length address the record's own gzip MEMBER (exactly what
+    Common Crawl's CDX publishes), so a reader can fetch and decompress
+    one record without touching the rest of the archive. For plain
+    files, offsets address the record bytes directly. This is the
+    production lever for splitting archives bigger than one task."""
+    out: list[dict[str, Any]] = []
+    if data[:2] == b"\x1f\x8b":
+        pos = 0
+        while pos < len(data) and data[pos:pos + 2] == b"\x1f\x8b":
+            d = zlib.decompressobj(wbits=31)
+            try:
+                plain = d.decompress(data[pos:])
+            except zlib.error as e:
+                raise ValueError(f"corrupt gzip member: {e}") from e
+            if not d.eof:
+                raise ValueError("truncated gzip member")
+            consumed = len(data) - pos - len(d.unused_data)
+            for rec in parse_warc(plain):
+                out.append({"offset": pos, "length": consumed,
+                            "warc_type": rec["warc_type"], "uri": rec["uri"]})
+            pos += consumed
+        return out
+    # plain layout: one header walk tracking byte offsets
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while pos < n and data[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        start = pos
+        eol = data.find(_CRLF, pos)
+        if eol < 0 or not data[pos:eol].startswith(b"WARC/"):
+            raise ValueError(f"expected WARC version line at offset {pos}")
+        hpos = eol + 2
+        headers: dict[str, str] = {}
+        while True:
+            e2 = data.find(_CRLF, hpos)
+            if e2 < 0:
+                raise ValueError("unterminated WARC header block")
+            line = data[hpos:e2]
+            hpos = e2 + 2
+            if not line:
+                break
+            key, sep, val = line.partition(b":")
+            if not sep:
+                raise ValueError(f"malformed WARC header line {line!r}")
+            headers[key.strip().lower().decode("latin-1")] = (
+                val.strip().decode("latin-1")
+            )
+        try:
+            body_len = int(headers["content-length"])
+        except (KeyError, ValueError) as e:
+            raise ValueError("missing/bad Content-Length") from e
+        end = hpos + body_len
+        if end > n:
+            raise ValueError("truncated record block")
+        # the two terminating CRLFs are part of the record (ISO 28500 §4)
+        while end - (hpos + body_len) < 4 and data[end:end + 2] == _CRLF:
+            end += 2
+        out.append({"offset": start, "length": end - start,
+                    "warc_type": headers.get("warc-type", ""),
+                    "uri": headers.get("warc-target-uri", "")})
+        pos = end
+    return out
+
+
+def read_record_at(data: bytes, offset: int, length: int) -> dict[str, Any]:
+    """Random access: fetch ONE record via its cdx_index row without
+    parsing the rest of the archive (the byte range is all a remote
+    reader needs to request)."""
+    chunk = data[offset:offset + length]
+    recs = parse_warc(chunk)
+    if not recs:
+        raise ValueError("no record at offset")
+    return recs[0]
+
+
 def build_warc(records: list[dict[str, Any]], gzip_members: bool = False) -> bytes:
     """Deterministic WARC writer (fixtures + archive sink). ``records``:
     dicts with warc_type, uri, block (bytes) and optional date/

@@ -82,6 +82,31 @@ def test_parser_fuzz_only_valueerror(start, payload, truncate):
         pass
 
 
+@pytest.mark.parametrize("gz", [False, True])
+def test_cdx_index_random_access(gz):
+    """CDX offset index addresses each record (gzip MEMBER for the
+    Common Crawl layout); read_record_at fetches one record from just
+    its byte range and matches the sequential parse."""
+    from high_performance_docling_spark.kernels.warc import (
+        cdx_index,
+        read_record_at,
+    )
+
+    data = build_warc(_fixture_records(), gzip_members=gz)
+    idx = cdx_index(data)
+    full = parse_warc(data)
+    assert len(idx) == len(full) == 4
+    assert [r["warc_type"] for r in idx] == [r["warc_type"] for r in full]
+    # ranges tile the file without overlap
+    assert idx[0]["offset"] == 0
+    for a, b in zip(idx, idx[1:]):
+        assert b["offset"] == a["offset"] + a["length"]
+    assert idx[-1]["offset"] + idx[-1]["length"] == len(data)
+    for row, want in zip(idx, full):
+        got = read_record_at(data, row["offset"], row["length"])
+        assert got == want
+
+
 def test_stream_extract_warc_equals_batch(spark, tmp_path):
     """Continuous crawl ingestion: two WARC archives landing as a stream
     produce EXACTLY the batch path's spans, through the idempotent
