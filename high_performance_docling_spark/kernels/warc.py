@@ -151,8 +151,12 @@ def cdx_index(data: bytes) -> list[dict[str, Any]]:
             if not d.eof:
                 raise ValueError("truncated gzip member")
             consumed = len(data) - pos - len(d.unused_data)
-            for rec in parse_warc(plain):
+            # record_ix disambiguates the (rare) whole-file-gzip layout
+            # where one member holds many records and every row shares
+            # the member's byte range
+            for ix, rec in enumerate(parse_warc(plain)):
                 out.append({"offset": pos, "length": consumed,
+                            "record_ix": ix,
                             "warc_type": rec["warc_type"], "uri": rec["uri"]})
             pos += consumed
         return out
@@ -195,21 +199,24 @@ def cdx_index(data: bytes) -> list[dict[str, Any]]:
         while end - (hpos + body_len) < 4 and data[end:end + 2] == _CRLF:
             end += 2
         out.append({"offset": start, "length": end - start,
+                    "record_ix": 0,
                     "warc_type": headers.get("warc-type", ""),
                     "uri": headers.get("warc-target-uri", "")})
         pos = end
     return out
 
 
-def read_record_at(data: bytes, offset: int, length: int) -> dict[str, Any]:
+def read_record_at(data: bytes, offset: int, length: int,
+                   record_ix: int = 0) -> dict[str, Any]:
     """Random access: fetch ONE record via its cdx_index row without
     parsing the rest of the archive (the byte range is all a remote
-    reader needs to request)."""
+    reader needs to request). ``record_ix`` selects within the range for
+    the whole-file-gzip layout where one member holds many records."""
     chunk = data[offset:offset + length]
     recs = parse_warc(chunk)
-    if not recs:
+    if record_ix >= len(recs):
         raise ValueError("no record at offset")
-    return recs[0]
+    return recs[record_ix]
 
 
 def build_warc(records: list[dict[str, Any]], gzip_members: bool = False) -> bytes:

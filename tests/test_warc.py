@@ -103,8 +103,31 @@ def test_cdx_index_random_access(gz):
         assert b["offset"] == a["offset"] + a["length"]
     assert idx[-1]["offset"] + idx[-1]["length"] == len(data)
     for row, want in zip(idx, full):
-        got = read_record_at(data, row["offset"], row["length"])
+        got = read_record_at(data, row["offset"], row["length"],
+                             row["record_ix"])
         assert got == want
+
+
+def test_cdx_whole_file_gzip_record_ix():
+    """Whole-file-gzip layout (one member, many records): rows share the
+    member range and record_ix disambiguates random access."""
+    import zlib
+
+    from high_performance_docling_spark.kernels.warc import (
+        cdx_index,
+        read_record_at,
+    )
+
+    plain = build_warc(_fixture_records(), gzip_members=False)
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    data = co.compress(plain) + co.flush()
+    idx = cdx_index(data)
+    full = parse_warc(data)
+    assert len(idx) == 4 and all(r["offset"] == 0 for r in idx)
+    assert [r["record_ix"] for r in idx] == [0, 1, 2, 3]
+    for row, want in zip(idx, full):
+        assert read_record_at(data, row["offset"], row["length"],
+                              row["record_ix"]) == want
 
 
 def test_stream_extract_warc_equals_batch(spark, tmp_path):
