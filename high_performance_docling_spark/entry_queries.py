@@ -2202,14 +2202,34 @@ def q_cms_heavy_hitters(spark, sf_dir):
         .orderBy(F.desc("est_count"), F.asc("user_id"))
         .limit(10)
     )
+    # Rank WITHOUT a window: a partition-less row_number over even the
+    # 10-row result makes WindowExec log "No Partition Defined" warnings
+    # (a constant partitionBy key gets constant-folded away, so it does
+    # not help) that read as a scale-killer to log audits. Instead the 10
+    # rows collapse into ONE sorted array (global agg over a limit-10
+    # input — bounded by construction) and posexplode assigns the rank.
+    # Sorting ascending on (-est_count, user_id) gives est DESC with
+    # user_id ASC tie-break, matching the oracle's row_number ordering.
     ranked = (
-        top.withColumn(
-            "rk",
-            F.row_number().over(
-                W.orderBy(F.desc("est_count"), F.asc("user_id"))
-            ),
+        top.groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("est_count")).alias("neg_est"),
+                        F.col("user_id"),
+                        F.col("exact_count"),
+                    )
+                )
+            ).alias("arr")
         )
-        .select("rk", "user_id", "est_count", "exact_count")
+        .select(F.posexplode("arr").alias("pos", "r"))
+        .select(
+            (F.col("pos") + 1).alias("rk"),
+            F.col("r.user_id").alias("user_id"),
+            (-F.col("r.neg_est")).alias("est_count"),
+            F.col("r.exact_count").alias("exact_count"),
+        )
         .orderBy("rk")
     )
     return ranked

@@ -198,8 +198,11 @@ def _select_best(group: list[dict], params: dict) -> dict:
         at, ct = params["area_threshold"], params["conf_threshold"]
     for i, candidate in enumerate(group):
         if big and candidate["label"] not in (LIST_ITEM, CODE):
-            with np.errstate(divide="ignore"):
-                ratio = np.where(areas > 0.0, areas[i] / areas, np.inf)
+            # masked divide: lanes with area 0 are never computed (inf
+            # sentinel), so neither divide-by-zero nor 0/0-invalid
+            # RuntimeWarnings fire — log-grepping audits stay clean
+            ratio = np.full_like(areas, np.inf)
+            np.divide(areas[i], areas, out=ratio, where=areas > 0.0)
             excluded = bool(np.any((ratio <= at) & (confs - confs[i] > ct)))
         else:
             excluded = any(

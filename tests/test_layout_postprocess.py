@@ -1,6 +1,8 @@
 """Unit tests for the layout post-processing kernel
 (port of fork/layout/layout_postprocessor.py — see module docstring)."""
 
+import pytest
+
 from high_performance_docling_spark.kernels.layout_postprocess import (
     _remove_overlaps,
     _select_best,
@@ -264,12 +266,14 @@ def test_postfilter_detections():
     assert postfilter_detections(out, 612.0, 792.0) == out
 
 
+@pytest.mark.filterwarnings("error::RuntimeWarning")
 def test_select_best_big_group_vectorized_parity():
     """The >64-member vectorized exclusion scan in _select_best must pick
     EXACTLY the cluster the reference pairwise loop picks — property-
     checked over random groups straddling the cutover, including
     LIST_ITEM/CODE members (which keep the loop path) and zero-area
-    boxes."""
+    boxes. RuntimeWarnings are ERRORS here (VERDICT r5 #6): the masked
+    divide must stay silent even for 0/0 area ratios."""
     import random as _random
 
     from high_performance_docling_spark.kernels.layout_postprocess import (
