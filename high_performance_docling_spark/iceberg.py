@@ -59,18 +59,25 @@ def merge_commit(batch_df: DataFrame, target: str, batch_id: int,
     """
     spark = batch_df.sparkSession
     if "/" not in target and iceberg_available(spark):
-        # replace-by-batch: delete the previous attempt's rows (no-op on
-        # first run), then append tagged rows. Name-based writeTo append
-        # tolerates column-order drift; pre-existing rows without the
-        # bookkeeping column read as NULL and are never deleted.
-        if "_commit_batch_id" not in spark.table(target).columns:
+        # replace-by-batch in ONE Iceberg snapshot commit (ADVICE r5):
+        # writeTo().overwrite(condition) is REPLACE WHERE — it deletes
+        # the previous attempt's rows (no-op on first run) and inserts
+        # the tagged rows atomically, so a concurrent reader sees either
+        # the old attempt or the new one, never the gap a separate
+        # DELETE-then-append pair exposes between its two commits.
+        # Pre-existing rows without the bookkeeping column read as NULL
+        # and are never replaced.
+        tagged = batch_df.withColumn(
+            "_commit_batch_id", F.lit(int(batch_id)))
+        try:
+            cols = spark.table(target).columns
+        except Exception:
+            tagged.writeTo(target).create()  # first commit creates the table
+            return
+        if "_commit_batch_id" not in cols:
             spark.sql(f"ALTER TABLE {target} ADD COLUMN _commit_batch_id INT")
-        spark.sql(
-            f"DELETE FROM {target} WHERE _commit_batch_id = {int(batch_id)}"
-        )
-        batch_df.withColumn(
-            "_commit_batch_id", F.lit(int(batch_id))
-        ).writeTo(target).append()
+        tagged.writeTo(target).overwrite(
+            F.col("_commit_batch_id") == int(batch_id))
         return
     # parquet fallback: one overwritten partition dir per batch — a retry
     # replaces its own output instead of appending a duplicate

@@ -180,9 +180,12 @@ def _unpredict(data: bytes, columns: int, predictor: int) -> bytes:
 
 
 def _read_xref_stream(obj: bytes, type1: dict[int, int],
-                      type2: dict[int, tuple[int, int]]) -> dict[int, int]:
+                      type2: dict[int, tuple[int, int]],
+                      free: set[int]) -> dict[int, int]:
     """Decode one /Type /XRef stream object into the offset maps
-    (first-seen wins — newer sections shadow /Prev chains). Returns the
+    (first-seen wins — newer sections shadow /Prev chains; type-0 free
+    entries are recorded as tombstones so a deletion in a NEWER section
+    shadows the object's offset in an OLDER one). Returns the
     trailer-ish keys found in its dict ({'prev': n} when present)."""
     w = _dict_int_array(obj, rb"/W") or []
     size = _dict_int(obj, rb"/Size")
@@ -211,10 +214,14 @@ def _read_xref_stream(obj: bytes, type1: dict[int, int],
                          else None)
                 o += width
             typ = f[0] if w[0] else 1  # w1=0 → type defaults to 1
-            if typ == 1 and num not in type1 and num not in type2:
+            if num in type1 or num in type2 or num in free:
+                continue  # a newer section already decided this object
+            if typ == 1:
                 type1[num] = f[1]
-            elif typ == 2 and num not in type1 and num not in type2:
+            elif typ == 2:
                 type2[num] = (f[1], f[2] or 0)
+            elif typ == 0:
+                free.add(num)  # tombstone: deleted as of this section
     out = {}
     prev = _dict_int(obj, rb"/Prev")
     if prev is not None:
@@ -225,9 +232,11 @@ def _read_xref_stream(obj: bytes, type1: dict[int, int],
 _XREF_ENTRY = re.compile(rb"(\d{10})\s+(\d{5})\s+([nf])\s*")
 
 
-def _read_classic_xref(data: bytes, off: int, type1: dict[int, int]) -> dict:
-    """Classic ``xref`` table at ``off`` → type-1 entries (first-seen
-    wins); returns {'prev': n, 'xrefstm': n} keys from the trailer."""
+def _read_classic_xref(data: bytes, off: int, type1: dict[int, int],
+                       free: set[int]) -> dict:
+    """Classic ``xref`` table at ``off`` → type-1 entries ('f' rows →
+    tombstones; first-seen wins across sections either way); returns
+    {'prev': n, 'xrefstm': n} keys from the trailer."""
     m = re.compile(rb"xref\s+").match(data, off)
     if not m:
         raise ValueError("no xref keyword at startxref offset")
@@ -243,8 +252,13 @@ def _read_classic_xref(data: bytes, off: int, type1: dict[int, int]) -> dict:
             if not em:
                 break
             pos = em.end()
-            if em.group(3) == b"n" and (start + k) not in type1:
-                type1[start + k] = int(em.group(1))
+            num = start + k
+            if num in type1 or num in free:
+                continue  # a newer section already decided this object
+            if em.group(3) == b"n":
+                type1[num] = int(em.group(1))
+            else:
+                free.add(num)  # 'f' tombstone: deleted as of this section
     out: dict[str, int] = {}
     tm = re.compile(rb"trailer").search(data, pos)
     if tm:
@@ -280,11 +294,15 @@ def _expand_objstms(objs: dict[int, bytes]) -> None:
             continue
 
 
-def _objects_via_xref(data: bytes) -> dict[int, bytes]:
+def _objects_via_xref(data: bytes) -> tuple[dict[int, bytes], set[int]]:
     """Authoritative object load along the startxref → /Prev chain
     (classic tables, xref streams, and hybrid /XRefStm sections), then
-    ObjStm member expansion. Raises on files without a usable chain —
-    the caller falls back to the whole-file regex sweep."""
+    ObjStm member expansion. Returns (objects, tombstones): tombstones
+    are object numbers FREED by the newest section that mentions them —
+    the caller must exclude them when merging the regex-sweep floor, or
+    an incremental update that deletes a page would resurrect it. Raises
+    on files without a usable chain — the caller falls back to the
+    whole-file regex sweep."""
     sx = data.rfind(b"startxref")
     if sx < 0:
         raise ValueError("no startxref")
@@ -293,6 +311,7 @@ def _objects_via_xref(data: bytes) -> dict[int, bytes]:
         raise ValueError("unparseable startxref")
     type1: dict[int, int] = {}
     type2: dict[int, tuple[int, int]] = {}
+    free: set[int] = set()
     queue = [int(m.group(1))]
     seen: set[int] = set()
     while queue:
@@ -304,12 +323,12 @@ def _objects_via_xref(data: bytes) -> dict[int, bytes]:
         while ws < len(data) and data[ws] in b" \r\n\t":
             ws += 1
         if data[ws:ws + 4] == b"xref":
-            links = _read_classic_xref(data, ws, type1)
+            links = _read_classic_xref(data, ws, type1, free)
         else:
             num, obj = _object_at(data, ws)
             if num is None or not re.search(rb"/Type\s*/XRef\b", obj):
                 raise ValueError("startxref does not point at an xref section")
-            links = _read_xref_stream(obj, type1, type2)
+            links = _read_xref_stream(obj, type1, type2, free)
         for key in ("xrefstm", "prev"):  # XRefStm takes precedence (§7.5.8.4)
             if key in links:
                 queue.append(links[key])
@@ -322,7 +341,7 @@ def _objects_via_xref(data: bytes) -> dict[int, bytes]:
     _expand_objstms(objs)
     # type-2 members not covered (e.g. their ObjStm was missed) are
     # handled by the caller's regex-sweep fallback merge
-    return objs
+    return objs, free
 
 
 def _ref(obj: bytes, key: bytes) -> int | None:
@@ -483,10 +502,18 @@ def parse_pdf_pages(data: bytes) -> list[dict[str, Any]]:
         raise ValueError("not a PDF (missing %PDF header)")
     objs = _objects(data)          # whole-file sweep: the robust floor
     try:
-        objs.update(_objects_via_xref(data))   # xref chain is authoritative
+        via_xref, free = _objects_via_xref(data)  # xref chain is authoritative
+        objs.update(via_xref)
+        # tombstoned objects (type-0 / classic 'f' in the NEWEST section
+        # naming them) are deleted — the sweep floor must not resurrect
+        # a page an incremental update removed
+        for num in free:
+            objs.pop(num, None)
     except (ValueError, IndexError, OverflowError, MemoryError):
-        pass
+        free = set()
     _expand_objstms(objs)          # backstop when the xref chain was broken
+    for num in free:               # ObjStm backstop must not resurrect either
+        objs.pop(num, None)
     page_nums = _page_order(objs)
     if page_nums is None:
         page_nums = [n for n in sorted(objs)

@@ -295,18 +295,28 @@ def decode_media_batch(df: DataFrame, real_codecs: bool = False) -> DataFrame:
                         from ..kernels.wav_codec import decode_wav
 
                         data = decode_wav(data)[0].tobytes()
-                    elif data[:8] == b"\x89PNG\r\n\x1a\n":
-                        # video as APNG: decode the real animation; frame
-                        # count comes from the DECODED stream, not meta
-                        from ..kernels.apng_codec import decode_apng
+                    elif mtype == "video":
+                        # gate on the DECLARED type first (ADVICE r5: a
+                        # stray media_type whose payload merely starts
+                        # with the PNG magic must not silently decode as
+                        # video), then dispatch on the container magic
+                        if data[:8] == b"\x89PNG\r\n\x1a\n":
+                            # APNG: decode the real animation; frame
+                            # count comes from the DECODED stream
+                            from ..kernels.apng_codec import decode_apng
 
-                        decoded, _ = decode_apng(data)
-                        n_frames = decoded.shape[0]
-                        data = decoded.tobytes()
+                            decoded, _ = decode_apng(data)
+                            n_frames = decoded.shape[0]
+                            data = decoded.tobytes()
+                        else:
+                            raise NotImplementedError(
+                                "real video decode beyond APNG requires "
+                                "ffmpeg — not in this container"
+                            )
                     else:
                         raise NotImplementedError(
-                            "real video decode beyond APNG requires "
-                            "ffmpeg — not in this container"
+                            f"unknown media_type {mtype!r} under "
+                            "real_codecs"
                         )
                 # frame sampling: every 10th frame, deterministic
                 frames = (

@@ -239,7 +239,7 @@ def test_pdf15_xref_stream_is_the_discovery_path():
     data = _build_pdf_15()
     swept = _objects(data)
     assert set(swept) == {4, 6, 8, 9}  # regex sweep can't see 1,2,3,5,7
-    via_xref = _objects_via_xref(data)
+    via_xref, _ = _objects_via_xref(data)
     assert {1, 2, 3, 5, 7, 4, 6, 8, 9} <= set(via_xref)
     assert b"/Type /Catalog" in via_xref[1]
     assert b"/BaseFont /Helvetica" in via_xref[7]
@@ -270,7 +270,7 @@ def test_pdf15_hybrid_classic_trailer_with_xrefstm():
         b"trailer\n<< /Size 10 /Root 1 0 R /XRefStm %d >>\n"
         b"startxref\n%d\n%%%%EOF\n" % (stream_startxref, len(base))
     )
-    objs = _objects_via_xref(hybrid)
+    objs, _ = _objects_via_xref(hybrid)
     assert {1, 2, 3, 5, 7} <= set(objs)
     spans = extract_pdf_spans(hybrid)
     assert len(spans) == 6
@@ -297,6 +297,53 @@ def test_pdf_incremental_update_prev_chain():
     assert "updated page two" in texts
     assert "Hello compressed page two" not in texts
     assert len(spans) == 6  # page 1 untouched
+
+
+def test_pdf_incremental_update_deletes_page():
+    """ADVICE r5: an incremental update that FREES a page's objects
+    (classic 'f' entries in the newer section) must delete the page —
+    the regex-sweep floor and the /Prev chain may not resurrect it.
+    §7.5.6: a freed object no longer exists; the dangling /Kids ref is
+    skipped."""
+    base = _build_pdf()
+    orig_xref = int(base.rsplit(b"startxref\n", 1)[1].split(b"\n")[0])
+    xref_pos = len(base)
+    out = base + (
+        b"xref\n0 1\n0000000000 65535 f \n"
+        b"5 2\n0000000000 00001 f \n0000000000 00001 f \n"
+        b"trailer\n<< /Size 8 /Root 1 0 R /Prev %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (orig_xref, xref_pos)
+    )
+    spans = extract_pdf_spans(out)
+    texts = [s["text"] for s in spans]
+    assert "Hello compressed page two" not in texts
+    assert len(spans) == 5  # page 1 intact
+    # and the tombstones are visible at the loader level
+    from high_performance_docling_spark.kernels.pdf_parse import (
+        _objects_via_xref,
+    )
+
+    objs, free = _objects_via_xref(out)
+    assert {5, 6} <= free and 5 not in objs and 6 not in objs
+    # an even NEWER section can re-add the object (first-seen wins on
+    # the resurrection too): appending a re-creation update on top wins
+    recreated = _stream_obj(6, b"BT /F1 12 Tf 72 700 Td (page two is back) Tj ET")
+    page5 = _pdf_object(
+        5,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 6 0 R /Resources << /Font << /F1 7 0 R >> >> >>",
+    )
+    out2 = out + page5 + recreated
+    xref2 = len(out2)
+    out2 += (
+        b"xref\n0 1\n0000000000 65535 f \n"
+        b"5 2\n%010d 00000 n \n%010d 00000 n \n"
+        b"trailer\n<< /Size 8 /Root 1 0 R /Prev %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n"
+        % (len(out), len(out) + len(page5), xref_pos, xref2)
+    )
+    texts2 = [s["text"] for s in extract_pdf_spans(out2)]
+    assert "page two is back" in texts2
 
 
 def test_pdf_parser_fuzz_no_hangs_or_foreign_exceptions():
