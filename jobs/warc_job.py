@@ -15,7 +15,12 @@ Cluster usage:
         --streaming --checkpoint-dir s3://corpus/warc_ckpt/ --idempotent
 
 Batch mode processes the segment directory once (one task per archive —
-crawl parallelism = segment count); --streaming tails it with an
+crawl parallelism = segment count); --record-grain switches batch mode
+to the mega-archive path: a streaming CDX index pass fans every archive
+out to (offset, length) record rows fetched via ranged reads, so a
+multi-GB segment spreads across the cluster instead of one heavy row
+(use it whenever segments approach executor memory or the 2 GiB binary
+ceiling); --streaming tails it with an
 availableNow trigger so newly delivered segments become micro-batches,
 and --idempotent commits each batch through the replace-by-batch sink
 (iceberg.merge_commit) so retries converge. Read an idempotent output
@@ -45,12 +50,19 @@ def main() -> None:
                     help="stream checkpoint location (required w/ --streaming)")
     ap.add_argument("--idempotent", action="store_true",
                     help="replace-by-batch commit (streaming mode)")
+    ap.add_argument("--record-grain", action="store_true",
+                    help="mega-archive path: CDX index + ranged reads, "
+                         "no task ever holds a whole archive (batch mode)")
+    ap.add_argument("--record-partitions", type=int, default=None,
+                    help="fetch-stage parallelism for --record-grain")
     args = ap.parse_args()
 
     from high_performance_docling_spark.pipeline import get_spark
     from high_performance_docling_spark.sources import (
+        extract_fetched_documents,
         extract_warc_documents,
         read_warc,
+        read_warc_records,
     )
 
     spark = get_spark("warc-job")
@@ -66,6 +78,11 @@ def main() -> None:
             idempotent=args.idempotent,
         )
         q.awaitTermination()
+    elif args.record_grain:
+        docs = read_warc_records(spark, args.warc,
+                                 num_partitions=args.record_partitions)
+        out = extract_fetched_documents(docs)
+        out.write.mode("overwrite").parquet(args.output)
     else:
         out = extract_warc_documents(read_warc(spark, args.warc))
         out.write.mode("overwrite").parquet(args.output)

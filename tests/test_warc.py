@@ -171,6 +171,90 @@ def test_stream_extract_warc_equals_batch(spark, tmp_path):
     assert "batch_id" not in read_committed(spark, out).columns
 
 
+def test_cdx_index_stream_matches_cdx_index():
+    """The bounded-memory streaming indexer yields EXACTLY cdx_index's
+    rows on all three layouts, at pathological chunk sizes, and raises
+    ValueError where the batch form does."""
+    import io
+    import zlib
+
+    from high_performance_docling_spark.kernels.warc import (
+        cdx_index,
+        cdx_index_stream,
+    )
+
+    plain = build_warc(_fixture_records())
+    memgz = build_warc(_fixture_records(), gzip_members=True)
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    wholegz = co.compress(plain) + co.flush()
+    for data in (plain, memgz, wholegz):
+        want = cdx_index(data)
+        for cs in (7, 64, 1 << 20):
+            assert list(cdx_index_stream(io.BytesIO(data), chunk_size=cs)) \
+                == want
+    for bad in (plain[:-30], memgz[:-5], b"\x1f\x8b" + b"junkjunk",
+                wholegz + b"EXTRA"):
+        with pytest.raises(ValueError):
+            list(cdx_index_stream(io.BytesIO(bad), chunk_size=11))
+
+
+def test_read_warc_records_equals_whole_file_path(spark, tmp_path):
+    """VERDICT r5 #3: the distributed ranged-read path (CDX index →
+    repartition → per-record fetch) returns EXACTLY the whole-file
+    path's rows — same doc_ids, payloads, and downstream spans — on a
+    mix of per-member-gzip, plain, and whole-file-gzip archives (the
+    record_ix disambiguation case), with record-grain parallelism."""
+    import zlib
+
+    from tests.test_pdf_seam import _build_pdf_15
+
+    from high_performance_docling_spark.sources import (
+        extract_fetched_documents,
+        read_warc,
+        read_warc_records,
+        warc_cdx_dataframe,
+        warc_response_documents,
+    )
+
+    pdf = _build_pdf_15()
+    (tmp_path / "seg-0.warc.gz").write_bytes(
+        build_warc(_fixture_records(pdf_bytes=pdf), gzip_members=True))
+    (tmp_path / "seg-1.warc").write_bytes(
+        build_warc(_fixture_records(), gzip_members=False))
+    whole_plain = build_warc(_fixture_records(pdf_bytes=pdf))
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    (tmp_path / "seg-2.warc.gz").write_bytes(
+        co.compress(whole_plain) + co.flush())
+
+    def norm_docs(df):
+        return {
+            r["doc_id"]: (r["url"], r["content_type"], r["n_bytes"],
+                          bytes(r["payload"]))
+            for r in df.collect()
+        }
+
+    whole = warc_response_documents(read_warc(spark, str(tmp_path)))
+    ranged = read_warc_records(spark, str(tmp_path), num_partitions=8)
+    assert norm_docs(ranged) == norm_docs(whole)
+    # spans through the same downstream extraction stage
+    def norm_spans(df):
+        return {
+            r["doc_id"]: [(s["kind"], s["text"], s["order"])
+                          for s in r["spans"]]
+            for r in df.collect()
+        }
+
+    assert norm_spans(extract_fetched_documents(ranged)) == \
+        norm_spans(extract_fetched_documents(whole))
+    # record-grain parallelism: the fetch stage runs over MORE
+    # partitions than there are archives — a single mega-archive fans
+    # out instead of pinning one task
+    idx = warc_cdx_dataframe(spark, str(tmp_path))
+    assert idx.count() == 14  # 5 + 4 + 5 records
+    assert read_warc_records(
+        spark, str(tmp_path), num_partitions=8).rdd.getNumPartitions() == 8
+
+
 def test_jsonl_corpus_source(spark, tmp_path):
     """Pile/C4-style JSONL(.gz) ingestion → (doc_id, source, text) that
     the text-analysis operators consume directly."""
