@@ -288,9 +288,16 @@ def decode_media_batch(df: DataFrame, real_codecs: bool = False) -> DataFrame:
                 n_frames = (meta or {}).get("n_frames") or 0
                 if real_codecs:
                     if mtype == "image":
-                        from ..kernels.png_codec import decode_png
+                        # container sniff: PNG or baseline JPEG (what
+                        # real figure crops / crawl images actually are)
+                        if data[:2] == b"\xff\xd8":
+                            from ..kernels.jpeg_codec import decode_jpeg
 
-                        data = decode_png(data).tobytes()
+                            data = decode_jpeg(data).tobytes()
+                        else:
+                            from ..kernels.png_codec import decode_png
+
+                            data = decode_png(data).tobytes()
                     elif mtype == "audio":
                         from ..kernels.wav_codec import decode_wav
 
