@@ -2743,6 +2743,176 @@ ORDER BY d.doc_id
 """
 
 
+def q_perplexity_score(spark, sf_dir):
+    """CCNet-style LM quality scoring (Wenzek et al., LREC 2020): train
+    an add-one-smoothed bigram LM on the corpus (two hash aggregations),
+    score every document's mean bigram log-probability by joining its
+    exploded bigrams against the broadcast model, derive perplexity.
+    Self-perplexity here (train = score corpus) = the in-corpus outlier
+    detector; the operator accepts a foreign trusted-partition model.
+    Scale shape: model size = distinct bigrams (prunable via min_count),
+    broadcast join, one per-doc agg — corpus shuffles only on doc_id."""
+    from .operators import lm_score as LM
+
+    return LM.score_documents(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+ORACLE_PERPLEXITY_SCORE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+tokens AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+v AS (SELECT count(DISTINCT tok) AS vsz FROM tokens),
+w AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM t WHERE len(toks) >= 2
+),
+bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM w),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+scored AS (
+  SELECT b.doc_id, ln((c12 + 1.0) / (c1 + vsz)) AS lp
+  FROM bg b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logp
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(avg_logp, 0.0) AS avg_logp,
+       round(exp(-coalesce(avg_logp, 0.0)), 4) AS ppl
+FROM documents d LEFT JOIN agg USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q_segment_dedup(spark, sf_dir):
+    """C4-style duplicate-line removal WITH corpus reconstruction
+    (Raffel et al., JMLR 2020 §2.2): fixed 8-token segments, one global
+    survivor per duplicated segment (lowest doc_id then position),
+    documents reassembled from their surviving segments. Unlike
+    dedup_substring_spans (sliding-window STATS), this rewrites the
+    text. Scale shape: one explode, one row_number window on the md5
+    segment key (the only shuffle), one per-doc reassembly agg."""
+    return DD.segment_dedup(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+ORACLE_SEGMENT_DEDUP = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+g AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1)) AS six
+  FROM t
+),
+s AS (
+  SELECT doc_id, six,
+         array_to_string(toks[six * 8 + 1 : six * 8 + 8], ' ') AS seg
+  FROM g
+),
+r AS (
+  SELECT doc_id, six, seg,
+         row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, six) AS rk
+  FROM s
+),
+rec AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY six) AS text_dedup
+  FROM r WHERE rk = 1 GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_segs FROM s GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(n_segs, 0)::BIGINT AS n_segs,
+       coalesce(n_kept, 0)::BIGINT AS n_kept,
+       coalesce(text_dedup, '') AS text_dedup
+FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN rec USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+_URL_HOSTS = [
+    "example.com", "docs.example.com", "news.sample.org",
+    "cdn.sample.org", "files.archive.net", "blog.example.co.uk",
+    "shop.example.co.uk", "data.test.io",
+]
+
+
+def q_url_domain_stats(spark, sf_dir):
+    """Crawl-curation domain rollup: synthesize a deterministic URL per
+    document (host from an 8-entry pool keyed by doc_id — incl.
+    second-level-TLD cases — path from source/doc_id, query string on
+    every third doc), parse host / registrable domain / path depth /
+    query flag with the shared Java∩RE2 regexes, and aggregate per
+    registrable domain. The oracle synthesizes and parses the identical
+    strings. Scale shape: pure projection + one hash agg on the domain
+    key (salt via operators/skew for mega-domains)."""
+    from .operators import url_ops as UO
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in _URL_HOSTS]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/"), F.col("source"),
+        F.lit("/doc-"), F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.lit("?ref="), F.col("lang"))
+        ).otherwise(F.lit("")),
+    )
+    return UO.domain_stats(
+        docs.withColumn("url", url), weight_col="n_chars"
+    ).orderBy("domain")
+
+
+ORACLE_URL_DOMAIN_STATS = r"""
+WITH u AS (
+  SELECT doc_id, n_chars,
+         'https://' ||
+         (['example.com','docs.example.com','news.sample.org',
+           'cdn.sample.org','files.archive.net','blog.example.co.uk',
+           'shop.example.co.uk','data.test.io'])[(doc_id % 8 + 1)::INT] ||
+         '/' || source || '/doc-' || CAST(doc_id AS VARCHAR) ||
+         CASE WHEN doc_id % 3 = 0 THEN '?ref=' || lang ELSE '' END AS url
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_chars,
+         regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host,
+         regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+         CASE WHEN length(regexp_extract(url, '\?([^#]*)', 1)) > 0
+              THEN 1 ELSE 0 END AS has_query
+  FROM u
+),
+d AS (
+  SELECT *, string_split(host, '.') AS parts,
+         len(string_split(host, '.')) AS np
+  FROM p
+),
+dom AS (
+  SELECT doc_id, n_chars, host, has_query,
+         len(list_filter(string_split(path, '/'), x -> x <> '')) AS path_depth,
+         CASE WHEN np <= 1 THEN host
+              WHEN np >= 3 AND parts[np - 1] IN
+                   ('co','com','org','net','ac','gov','edu')
+                THEN parts[np - 2] || '.' || parts[np - 1] || '.' || parts[np]
+              ELSE parts[np - 1] || '.' || parts[np] END AS domain
+  FROM d
+)
+SELECT domain,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT host)::BIGINT AS n_hosts,
+       sum(has_query)::BIGINT AS n_query_urls,
+       round(avg(path_depth), 4) AS avg_path_depth,
+       round(avg(n_chars), 4) AS avg_n_chars
+FROM dom GROUP BY domain ORDER BY domain
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2817,6 +2987,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components_star": q_dedup_components_star,
     "dedup_representatives": q_dedup_representatives,
     "tfidf_keywords": q_tfidf_keywords,
+    # --- round-6 additions: APPENDED AT THE BACK so the driver-checked
+    # first-50 window stays exactly the round-6 rotation plan; these are
+    # the round-7 front-rotation candidates (verified meanwhile by
+    # scripts/verify_queries.py and tests/test_new_queries.py).
+    "perplexity_score": q_perplexity_score,
+    "segment_dedup": q_segment_dedup,
+    "url_domain_stats": q_url_domain_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -2880,5 +3057,8 @@ ORACLES: dict[str, str] = {
     "length_quantiles": ORACLE_LENGTH_QUANTILES,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
     "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
+    "perplexity_score": ORACLE_PERPLEXITY_SCORE,
+    "segment_dedup": ORACLE_SEGMENT_DEDUP,
+    "url_domain_stats": ORACLE_URL_DOMAIN_STATS,
 }
 

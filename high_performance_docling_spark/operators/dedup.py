@@ -432,3 +432,68 @@ def duplicate_substring_stats(
             F.coalesce("dup_frac", F.lit(0.0)).alias("dup_frac"),
         )
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 8,
+) -> DataFrame:
+    """C4-style line-grain exact dedup WITH corpus reconstruction.
+
+    C4 (Raffel et al., JMLR 2020, §2.2) removes every repeated
+    three-sentence span from the corpus, keeping exactly ONE occurrence.
+    The engine's corpus has no sentence boundaries, so the "line" unit is
+    a fixed run of ``seg_tokens`` consecutive tokens (non-overlapping —
+    unlike duplicate_substring_stats' sliding windows, which only REPORT
+    duplication; this operator rewrites the text). For each duplicated
+    segment the globally-first occurrence (lowest doc_id, then segment
+    index) survives; every document is then reassembled from its
+    surviving segments in order.
+
+    Output: (doc_id, n_segs, n_kept, text_dedup) for every input row.
+
+    Scale shape: one explode (narrow), one row_number window partitioned
+    by the segment hash (single shuffle on a near-uniform md5 key — the
+    dedup analogue of a groupBy), one per-document reassembly agg. No
+    driver-side state; the reassembled text never exceeds the input row.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    segs = F.expr(
+        f"transform(sequence(0, int(ceil(size(__toks) / {seg_tokens}.0)) - 1),"
+        f" g -> array_join(slice(__toks, g * {seg_tokens} + 1, {seg_tokens}), ' '))"
+    )
+    s = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .select("doc_id", F.posexplode(segs).alias("six", "seg"))
+    )
+    w = W.partitionBy(F.md5(F.col("seg"))).orderBy("doc_id", "six")
+    kept = (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    rec = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("six", "seg"))),
+                lambda p: p["seg"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    tot = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(tot, "doc_id", "left")
+        .join(rec, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segs", F.lit(0)).alias("n_segs"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )

@@ -4,7 +4,8 @@ the individually-oracled operators in the order a production pipeline
 runs them:
 
     quality gate (Gopher rules) → PII scrub → benchmark decontamination
-    → exact dedup → train/val/test split → chunk → sequence-pack
+    → exact dedup [→ near dedup] [→ LM perplexity gate]
+    → train/val/test split → chunk → sequence-pack
 
 Every stage is one of the tested operators (text_analysis.gopher_quality,
 cleaning.scrub_pii / decontaminate, dedup.exact_duplicates,
@@ -67,6 +68,8 @@ def prepare_pretrain_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     near_dedup: bool = False,
+    max_ppl: float | None = None,
+    lm: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> dict[str, DataFrame]:
     """Raw (doc_id, text) table → {"documents": kept docs with split,
     "chunks": packed chunk rows, "audit": per-stage keep flags}.
@@ -79,6 +82,14 @@ def prepare_pretrain_corpus(
     ``near_dedup=True`` adds the SimHash→components→representatives
     pass after exact dedup (near_duplicate_ids) — the fuzzy-duplicate
     layer most pretraining corpora need on top of exact hashing.
+
+    ``max_ppl`` adds the CCNet-style LM quality gate (lm_score): drop
+    documents whose bigram-LM perplexity over the scrubbed text exceeds
+    the threshold. Pass a frozen ``lm`` triple (train_bigram_lm on a
+    trusted partition) for append-stable decisions; with ``lm=None``
+    the model is self-trained on this corpus, so scores are
+    corpus-relative (an outlier detector, not a stable gate — documents
+    can flip as the corpus grows).
     """
     base = docs.select(F.col(id_col).alias("doc_id"),
                        F.col(text_col).alias("text"))
@@ -122,6 +133,23 @@ def prepare_pretrain_corpus(
             "is_near_duplicate", F.lit(0)
         ).withColumn("near_dup_kept_by", F.lit(None).cast("string"))
 
+    if max_ppl is not None:
+        from .lm_score import score_documents
+
+        ppl = score_documents(
+            scrubbed.select("doc_id", F.col("clean_text").alias("text")),
+            lm=lm,
+        ).select(
+            "doc_id", "ppl",
+            (F.col("ppl") <= F.lit(float(max_ppl))).alias("ppl_pass"),
+        )
+    else:
+        ppl = base.select(
+            "doc_id",
+            F.lit(None).cast("double").alias("ppl"),
+            F.lit(True).alias("ppl_pass"),
+        )
+
     b = bucket_of(F.col("doc_id"), 100)
     split = F.when(b < 98, "train").when(b < 99, "val").otherwise("test")
 
@@ -138,6 +166,7 @@ def prepare_pretrain_corpus(
         )
         .join(quality, "doc_id")
         .join(contam, "doc_id")
+        .join(ppl, "doc_id")
         .withColumn("split", split)
     )
 
@@ -146,6 +175,7 @@ def prepare_pretrain_corpus(
                        & (F.col("is_near_duplicate") == 0))
         .join(quality.filter(F.col("gopher_pass")), "doc_id")
         .join(contam.filter(F.col("contaminated") == 0), "doc_id")
+        .join(ppl.filter(F.col("ppl_pass")).select("doc_id"), "doc_id")
         .select("doc_id", F.col("clean_text").alias("text"))
         .withColumn("split", split)
     )

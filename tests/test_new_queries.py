@@ -1,0 +1,206 @@
+"""Round-6 curation operators: LM perplexity scoring (lm_score), URL /
+domain parsing (url_ops) and C4-style segment dedup with reconstruction
+(dedup.segment_dedup). Each is pinned against an independent pure-Python
+reference here; their registry entries are additionally cross-checked
+against DuckDB oracles by scripts/verify_queries.py."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from high_performance_docling_spark.operators import dedup as DD
+from high_performance_docling_spark.operators import lm_score as LM
+from high_performance_docling_spark.operators import url_ops as UO
+
+
+# ---------------------------------------------------------------- lm_score
+
+LM_DOCS = [
+    (0, "the cat sat"),
+    (1, "the cat ran"),
+    (2, "a dog"),
+    (3, "solo"),
+    (4, ""),
+]
+
+
+def _py_bigram_reference(rows):
+    """Independent add-one bigram LM implementation (plain dicts)."""
+    toks = {i: t.lower().strip().split() for i, t in rows}
+    vocab = {w for ts in toks.values() for w in ts if ts}
+    # empty text tokenizes to [''] under the \s+ split contract
+    for i, t in rows:
+        if t.strip() == "":
+            vocab.add("")
+    v = len(vocab)
+    bigrams = {
+        i: list(zip(ts, ts[1:])) for i, ts in toks.items()
+    }
+    c12: dict = {}
+    c1: dict = {}
+    for bs in bigrams.values():
+        for b in bs:
+            c12[b] = c12.get(b, 0) + 1
+            c1[b[0]] = c1.get(b[0], 0) + 1
+    out = {}
+    for i, bs in bigrams.items():
+        if not bs:
+            out[i] = (0, 0.0, 1.0)
+            continue
+        lps = [
+            math.log((c12[b] + 1.0) / (c1[b[0]] + v)) for b in bs
+        ]
+        avg = round(sum(lps) / len(lps), 6)
+        out[i] = (len(bs), avg, round(math.exp(-avg), 4))
+    return out
+
+
+def test_score_documents_matches_python_reference(spark):
+    df = spark.createDataFrame(LM_DOCS, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"], r["ppl"])
+        for r in LM.score_documents(df).collect()
+    }
+    want = _py_bigram_reference(LM_DOCS)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], i
+        assert got[i][1] == pytest.approx(want[i][1], abs=2e-6), i
+        assert got[i][2] == pytest.approx(want[i][2], abs=2e-4), i
+
+
+def test_score_documents_foreign_model_unseen_floor(spark):
+    train = spark.createDataFrame([(0, "x y")], ["doc_id", "text"])
+    score = spark.createDataFrame([(9, "z w")], ["doc_id", "text"])
+    lm = LM.train_bigram_lm(train)
+    row = LM.score_documents(score, lm=lm).collect()[0]
+    # unseen context and bigram: ln((0+1)/(0+V)) with V=2 -> ppl 2.0
+    assert row["n_bigrams"] == 1
+    assert row["avg_logp"] == pytest.approx(math.log(0.5), abs=1e-6)
+    assert row["ppl"] == pytest.approx(2.0, abs=1e-4)
+
+
+def test_perplexity_filter_keeps_low_ppl_head(spark):
+    # doc 2 repeats one bigram 4x -> high probability -> low perplexity
+    docs = [
+        (0, "p q r s t u"),
+        (1, "u t s r q p"),
+        (2, "m m m m m"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    scores = {
+        r["doc_id"]: r["ppl"] for r in LM.score_documents(df).collect()
+    }
+    assert scores[2] < scores[0] and scores[2] < scores[1]
+    kept = LM.perplexity_filter(df, max_ppl=scores[2]).collect()
+    assert [r["doc_id"] for r in kept] == [2]
+    assert set(kept[0].asDict()) >= {"doc_id", "text", "ppl", "avg_logp"}
+
+
+def test_train_min_count_prunes_to_laplace_floor(spark):
+    # with min_count=2 the once-seen bigram (y,z) is pruned from the
+    # model and scores as an unseen event: (0+1)/(c1+V), not (1+1)/(c1+V)
+    train = spark.createDataFrame(
+        [(0, "x y x y y z")], ["doc_id", "text"]
+    )
+    lm = LM.train_bigram_lm(train, min_count=2)
+    score = spark.createDataFrame([(1, "y z")], ["doc_id", "text"])
+    row = LM.score_documents(score, lm=lm).collect()[0]
+    # c1(y)=3, V=3 -> ln(1/6)
+    assert row["avg_logp"] == pytest.approx(math.log(1 / 6), abs=1e-6)
+
+
+# ----------------------------------------------------------------- url_ops
+
+def test_parse_url_columns_cases(spark):
+    urls = [
+        (0, "https://News.BBC.co.uk:8080/world/asia/index.html?q=1#frag"),
+        (1, "http://example.com"),
+        (2, "https://localhost/a"),
+        (3, "https://cdn.sample.org/x/"),
+        (4, "not a url"),
+    ]
+    df = UO.parse_url_columns(
+        spark.createDataFrame(urls, ["doc_id", "url"])
+    )
+    rows = {r["doc_id"]: r for r in df.collect()}
+    r0 = rows[0]
+    assert r0["url_host"] == "news.bbc.co.uk"  # lowercased, port stripped
+    assert r0["url_domain"] == "bbc.co.uk"  # second-level TLD -> 3 labels
+    assert r0["url_path_depth"] == 3
+    assert r0["url_has_query"] == 1
+    assert rows[1]["url_host"] == "example.com"
+    assert rows[1]["url_domain"] == "example.com"
+    assert rows[1]["url_path_depth"] == 0
+    assert rows[1]["url_has_query"] == 0
+    assert rows[2]["url_domain"] == "localhost"  # single label stays
+    assert rows[3]["url_path_depth"] == 1  # trailing slash: one segment
+    assert rows[4]["url_host"] == ""  # unparseable -> empty, not error
+    assert rows[4]["url_domain"] == ""
+
+
+def test_domain_stats_rollup(spark):
+    urls = [
+        (0, "https://a.example.com/p?x=1", 10),
+        (1, "https://b.example.com/p/q", 30),
+        (2, "https://other.net/", 50),
+    ]
+    out = {
+        r["domain"]: r
+        for r in UO.domain_stats(
+            spark.createDataFrame(urls, ["doc_id", "url", "n_chars"]),
+            weight_col="n_chars",
+        ).collect()
+    }
+    ex = out["example.com"]
+    assert ex["n_docs"] == 2 and ex["n_hosts"] == 2
+    assert ex["n_query_urls"] == 1
+    assert ex["avg_path_depth"] == pytest.approx(1.5)
+    assert ex["avg_n_chars"] == pytest.approx(20.0)
+    assert out["other.net"]["n_docs"] == 1
+
+
+# ----------------------------------------------------------- segment_dedup
+
+def test_segment_dedup_reconstruction(spark):
+    docs = [
+        (0, "a b c d e f g h i j k l m n o p"),
+        (1, "a b c d e f g h x0 x1 x2 x3 x4 x5 x6 x7"),
+        (2, "i j k l m n o p"),
+        (3, "q r s"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in DD.segment_dedup(df).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    # doc 0 owns both of its segments (lowest doc_id wins)
+    assert (rows[0]["n_segs"], rows[0]["n_kept"]) == (2, 2)
+    assert rows[0]["text_dedup"] == docs[0][1]
+    # doc 1 loses its first segment to doc 0, keeps its unique tail
+    assert (rows[1]["n_segs"], rows[1]["n_kept"]) == (2, 1)
+    assert rows[1]["text_dedup"] == "x0 x1 x2 x3 x4 x5 x6 x7"
+    # doc 2 is entirely a duplicate of doc 0's second segment
+    assert (rows[2]["n_segs"], rows[2]["n_kept"]) == (1, 0)
+    assert rows[2]["text_dedup"] == ""
+    # short unique doc survives whole; empty doc yields zero segments
+    assert rows[3]["text_dedup"] == "q r s"
+    assert (rows[4]["n_segs"], rows[4]["n_kept"]) == (0, 0)
+
+
+def test_segment_dedup_is_idempotent(spark):
+    docs = [
+        (0, "a b c d e f g h i j k l m n o p"),
+        (1, "a b c d e f g h x0 x1 x2 x3 x4 x5 x6 x7"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    once = DD.segment_dedup(df)
+    again = DD.segment_dedup(
+        once.select("doc_id", F.col("text_dedup").alias("text"))
+    )
+    r = {x["doc_id"]: x for x in again.collect()}
+    assert r[0]["text_dedup"] == docs[0][1]
+    assert r[1]["text_dedup"] == "x0 x1 x2 x3 x4 x5 x6 x7"
+    assert all(x["n_segs"] == x["n_kept"] for x in r.values())

@@ -184,3 +184,31 @@ def test_events_funnel_all_stages_keyed_on_user(spark):
     import re
     for m in re.finditer(r"Exchange hashpartitioning\(([a-z_0-9#]+)", p):
         assert m.group(1).startswith("user_id"), m.group(0)
+
+
+def test_perplexity_score_broadcasts_model_no_python(spark):
+    # the LM joins must be broadcast hash equi-joins on (w1[, w2]); the
+    # only nested-loop is the documented 1-row vocab-size cross join
+    p = plan(spark, "perplexity_score")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # 1-row vsz scalar
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_segment_dedup_single_window_shuffle_jvm_side(spark):
+    # one row_number window on the md5 segment key, per-doc reassembly
+    # aggs — hash exchanges only, nothing Python, no nested loops
+    p = plan(spark, "segment_dedup")
+    assert "Window" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_url_domain_stats_pure_projection_single_agg(spark):
+    # URL synthesis + parsing stay codegen'd projections; the rollup is
+    # one hash aggregation on the domain key (partial + final)
+    p = plan(spark, "url_domain_stats")
+    assert "HashAggregate" in p
+    assert "Join" not in p  # no join anywhere: projection + agg only
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

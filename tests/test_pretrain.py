@@ -239,3 +239,47 @@ def test_pretrain_job_cli(spark, tmp_path):
     assert chunks.count() > 0
     assert set(r["split"] for r in chunks.select("split").distinct().collect()) \
         <= {"train", "val", "test"}
+
+
+def test_pretrain_ppl_gate_drops_outliers(spark):
+    from pyspark.sql import functions as F
+
+    from high_performance_docling_spark.operators.cleaning import scrub_pii
+    from high_performance_docling_spark.operators.lm_score import (
+        score_documents,
+        train_bigram_lm,
+    )
+
+    docs = _docs(spark)
+    # frozen model on the trusted corpus -> append-stable gate decisions
+    lm = train_bigram_lm(docs)
+    # gibberish doc: every bigram unseen by the model -> Laplace floor
+    # probabilities -> perplexity far above any in-distribution doc
+    # (trailing stopwords keep it past the Gopher stop-word floor)
+    noisy = docs.union(spark.createDataFrame(
+        [("noise", " ".join(f"zz{i}" for i in range(60))
+          + " the of and in is to")],
+        ["doc_id", "text"],
+    ))
+    # threshold from the exact text the composition scores (scrubbed)
+    scrubbed = scrub_pii(noisy).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    scores = {
+        r["doc_id"]: r["ppl"]
+        for r in score_documents(scrubbed, lm=lm).collect()
+    }
+    in_dist = max(v for k, v in scores.items() if k != "noise")
+    assert scores["noise"] > 2 * in_dist
+    thr = (in_dist + scores["noise"]) / 2
+
+    out = prepare_pretrain_corpus(
+        noisy, _benchmark(spark), max_ppl=thr, lm=lm
+    )
+    kept = {r["doc_id"] for r in out["documents"].collect()}
+    assert "noise" not in kept
+    assert {"keep-1", "keep-2"} <= kept
+    audit = {r["doc_id"]: r for r in out["audit"].collect()}
+    assert audit["noise"]["ppl_pass"] is False
+    assert audit["keep-1"]["ppl_pass"] is True
+    assert audit["noise"]["ppl"] == scores["noise"]
