@@ -2913,6 +2913,86 @@ FROM dom GROUP BY domain ORDER BY domain
 """
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination — the memory-bounded scale path
+    for `decontaminate` (same GPT-3/FLAN 13-gram rule, same synthesized
+    benchmark). The broadcast is the filter's occupied bit positions
+    (longs, ≤ n_bits rows) instead of shingle strings; corpus shingles
+    pass n_hashes chained broadcast joins (Bloom membership as
+    relational algebra — no false negatives), survivors are
+    exact-confirmed, and per-doc false-positive counts make the
+    (n_bits, n_hashes) trade-off measurable. n_bits is set SMALL (4096)
+    here so false positives actually occur at test scale and the
+    accounting is exercised; a production filter sizes n_bits to the
+    eval-suite shingle count. Deterministic md5 positions → the oracle
+    replays the identical filter."""
+    from .operators.cleaning import decontaminate_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    ltoks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id", F.concat_ws(" ", F.slice(ltoks, 1, 20)).alias("text")
+    )
+    return decontaminate_bloom(
+        docs, bench, n=13, n_hashes=3, n_bits=4096
+    ).orderBy("doc_id")
+
+
+ORACLE_DECONTAMINATE_BLOOM = r"""
+WITH toks_t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+dsh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 13
+                  THEN list_transform(range(1, len(toks) - 11),
+                         i -> array_to_string(toks[i:i+12], ' '))
+                  ELSE [array_to_string(toks, ' ')] END) AS sh
+    FROM toks_t)
+),
+bt AS (
+  SELECT doc_id, toks[1:20] AS toks FROM toks_t WHERE doc_id % 50 = 0
+),
+bsh AS (
+  SELECT DISTINCT sh FROM (
+    SELECT unnest(CASE WHEN len(toks) >= 13
+                  THEN list_transform(range(1, len(toks) - 11),
+                         i -> array_to_string(toks[i:i+12], ' '))
+                  ELSE [array_to_string(toks, ' ')] END) AS sh
+    FROM bt)
+),
+seeds AS (SELECT unnest(range(0, 3)) AS i),
+pos AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(i::VARCHAR || ':' || sh), 1, 14))::BIGINT
+           % 4096 AS p
+  FROM bsh CROSS JOIN seeds
+),
+cand AS (
+  SELECT doc_id, sh,
+         sum(CASE WHEN ('0x' || substr(md5(i::VARCHAR || ':' || sh), 1, 14))
+                       ::BIGINT % 4096 IN (SELECT p FROM pos)
+                  THEN 1 ELSE 0 END) AS nin
+  FROM dsh CROSS JOIN seeds GROUP BY doc_id, sh
+),
+surv AS (SELECT doc_id, sh FROM cand WHERE nin = 3),
+bl AS (SELECT doc_id, count(*) AS nb FROM surv GROUP BY doc_id),
+ex AS (
+  SELECT doc_id, count(*) AS ne FROM surv JOIN bsh USING (sh)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(nb, 0)::BIGINT AS n_bloom_hits,
+       coalesce(ne, 0)::BIGINT AS n_exact_hits,
+       (coalesce(nb, 0) - coalesce(ne, 0))::BIGINT AS n_false_pos,
+       (coalesce(ne, 0) > 0)::INT AS contaminated
+FROM toks_t t LEFT JOIN bl USING (doc_id) LEFT JOIN ex USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2994,6 +3074,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_score": q_perplexity_score,
     "segment_dedup": q_segment_dedup,
     "url_domain_stats": q_url_domain_stats,
+    "decontaminate_bloom": q_decontaminate_bloom,
 }
 
 ORACLES: dict[str, str] = {
@@ -3058,6 +3139,7 @@ ORACLES: dict[str, str] = {
     "events_funnel": ORACLE_EVENTS_FUNNEL,
     "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
     "perplexity_score": ORACLE_PERPLEXITY_SCORE,
+    "decontaminate_bloom": ORACLE_DECONTAMINATE_BLOOM,
     "segment_dedup": ORACLE_SEGMENT_DEDUP,
     "url_domain_stats": ORACLE_URL_DOMAIN_STATS,
 }

@@ -204,3 +204,65 @@ def test_segment_dedup_is_idempotent(spark):
     assert r[0]["text_dedup"] == docs[0][1]
     assert r[1]["text_dedup"] == "x0 x1 x2 x3 x4 x5 x6 x7"
     assert all(x["n_segs"] == x["n_kept"] for x in r.values())
+
+
+# ----------------------------------------------------- decontaminate_bloom
+
+BLOOM_DOCS = [
+    # 13-token doc duplicated verbatim into the benchmark
+    (0, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+    # shares no 13-gram with the benchmark
+    (1, "y0 y1 y2 y3 y4 y5 y6 y7 y8 y9 y10 y11 y12 y13"),
+    # sub-13-token doc: the whole text is its single shingle
+    (2, "short doc"),
+]
+BLOOM_BENCH = [(100, BLOOM_DOCS[0][1]), (101, "short doc")]
+
+
+def _bloom_frames(spark):
+    from high_performance_docling_spark.operators import cleaning as CL
+
+    docs = spark.createDataFrame(BLOOM_DOCS, ["doc_id", "text"])
+    bench = spark.createDataFrame(BLOOM_BENCH, ["doc_id", "text"])
+    return CL, docs, bench
+
+
+def test_bloom_no_false_negatives_matches_exact(spark):
+    # exact-hit counts must equal the exact path's n_hits for EVERY doc,
+    # at any filter size (Bloom has no false negatives by construction)
+    CL, docs, bench = _bloom_frames(spark)
+    exact = {
+        r["doc_id"]: r["n_hits"]
+        for r in CL.decontaminate(docs, bench, n=13).collect()
+    }
+    for n_bits in (64, 1 << 20):
+        out = {
+            r["doc_id"]: r
+            for r in CL.decontaminate_bloom(
+                docs, bench, n=13, n_bits=n_bits
+            ).collect()
+        }
+        assert set(out) == set(exact)
+        for d, n_hits in exact.items():
+            assert out[d]["n_exact_hits"] == n_hits, (n_bits, d)
+            assert out[d]["n_bloom_hits"] >= n_hits
+            assert out[d]["n_false_pos"] == (
+                out[d]["n_bloom_hits"] - out[d]["n_exact_hits"]
+            )
+            assert out[d]["contaminated"] == int(n_hits > 0)
+
+
+def test_bloom_large_filter_has_no_false_positives(spark):
+    # at 2^20 bits over a handful of shingles, FP probability ~ 1e-18:
+    # the screen IS the exact answer
+    CL, docs, bench = _bloom_frames(spark)
+    out = CL.decontaminate_bloom(docs, bench, n=13, n_bits=1 << 20)
+    assert out.filter(F.col("n_false_pos") != 0).count() == 0
+
+
+def test_bloom_positions_bounded_by_bits(spark):
+    CL, docs, bench = _bloom_frames(spark)
+    pos = CL.bloom_positions(bench, n=13, n_hashes=3, n_bits=16)
+    vals = [r["pos"] for r in pos.collect()]
+    assert len(vals) == len(set(vals)) <= 16
+    assert all(0 <= v < 16 for v in vals)

@@ -212,3 +212,14 @@ def test_url_domain_stats_pure_projection_single_agg(spark):
     assert "HashAggregate" in p
     assert "Join" not in p  # no join anywhere: projection + agg only
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_decontaminate_bloom_screen_is_all_broadcast(spark):
+    # 3 chained position-screen joins + exact-confirm + 2 result joins:
+    # every join must be a broadcast hash join; the corpus side never
+    # shuffles except the final per-doc count aggregations
+    p = plan(spark, "decontaminate_bloom")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
