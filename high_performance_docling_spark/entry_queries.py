@@ -2913,6 +2913,114 @@ FROM dom GROUP BY domain ORDER BY domain
 """
 
 
+_PSL_HOSTS = [
+    "example.com", "www.example.com", "news.bbc.co.uk", "a.blogspot.com",
+    "b.blogspot.com", "foo.bar.ck", "www.ck", "x.www.ck", "ck",
+    "localhost", "data.ac.jp", "deep.sub.shop.com.au",
+]
+
+
+def q_url_domain_psl(spark, sf_dir):
+    """Exact publicsuffix.org registrable-domain resolution (plain,
+    '*.'-wildcard AND '!'-exception rules) over a synthesized host per
+    document — the PSL upgrade path of url_domain_stats' two-label
+    heuristic. The host pool exercises every rule type: private-section
+    suffix (blogspot.com), wildcard (*.ck), exception (!www.ck),
+    suffix-only hosts ('ck', 'localhost' → no registrable domain, per
+    spec). Scale shape: zero corpus shuffle — one broadcast left join
+    per rule length against driver-side CONFIG relations, argmax as a
+    scalar projection; the only exchange is this query's final rollup.
+    The oracle replays the PSL algorithm itself (suffix explode + rule
+    join + prevailing-rule fold), not a lookup of expected outputs."""
+    from .operators import url_ops as UO
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in _PSL_HOSTS]),
+        (F.col("doc_id") % 12 + 1).cast("int"),
+    )
+    out = UO.registrable_domain_psl(
+        docs.withColumn("url_host", host), spark
+    )
+    return (
+        out.groupBy(
+            F.col("url_host").alias("host"),
+            F.col("psl_public_suffix").alias("public_suffix"),
+            F.col("psl_domain").alias("domain"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("host")
+    )
+
+
+ORACLE_URL_DOMAIN_PSL = r"""
+WITH u AS (
+  SELECT doc_id,
+         (['example.com','www.example.com','news.bbc.co.uk',
+           'a.blogspot.com','b.blogspot.com','foo.bar.ck','www.ck',
+           'x.www.ck','ck','localhost','data.ac.jp',
+           'deep.sub.shop.com.au'])[(doc_id % 12 + 1)::INT] AS host
+  FROM documents
+),
+rules(rule) AS (VALUES
+  ('com'),('org'),('net'),('edu'),('gov'),('io'),('de'),('fr'),('nl'),
+  ('jp'),('ac.jp'),('uk'),('co.uk'),('org.uk'),('ac.uk'),('au'),
+  ('com.au'),('cn'),('com.cn'),('br'),('com.br'),('in'),('co.in'),
+  ('us'),('ck'),('*.ck'),('!www.ck'),('blogspot.com')
+),
+pr AS (
+  SELECT CASE WHEN rule LIKE '!%' THEN substr(rule, 2)
+              WHEN rule LIKE '*.%' THEN substr(rule, 3)
+              ELSE rule END AS key,
+         (rule LIKE '*.%')::INT AS wild,
+         (rule LIKE '!%')::INT AS exc
+  FROM rules
+),
+prk AS (
+  SELECT key, max(1 - wild - exc) AS p, max(wild) AS w, max(exc) AS e
+  FROM pr GROUP BY key
+),
+h AS (
+  SELECT DISTINCT host, len(string_split(host, '.')) AS hn FROM u
+),
+sfx AS (
+  SELECT host, hn, k,
+         array_to_string(string_split(host, '.')[hn - k + 1 : hn],
+                         '.') AS sfx
+  FROM (SELECT host, hn, unnest(range(1, hn + 1)) AS k FROM h)
+),
+m AS (
+  SELECT s.host, s.hn,
+         max(CASE WHEN e = 1 THEN s.k - 1 END) AS excpl,
+         max(CASE WHEN p = 1 THEN s.k END) AS ppl,
+         max(CASE WHEN w = 1 AND s.hn > s.k THEN s.k + 1 END) AS wpl
+  FROM sfx s JOIN prk ON s.sfx = prk.key
+  GROUP BY s.host, s.hn
+),
+res AS (
+  SELECT h.host, h.hn,
+         coalesce(m.excpl,
+                  greatest(coalesce(m.ppl, 1), coalesce(m.wpl, 1), 1))
+           AS pl
+  FROM h LEFT JOIN m USING (host)
+),
+dom AS (
+  SELECT host,
+         array_to_string(string_split(host, '.')[hn - pl + 1 : hn],
+                         '.') AS public_suffix,
+         CASE WHEN hn >= pl + 1
+              THEN array_to_string(string_split(host, '.')[hn - pl : hn],
+                                   '.')
+              ELSE '' END AS domain
+  FROM res
+)
+SELECT u.host, d.public_suffix, d.domain, count(*)::BIGINT AS n_docs
+FROM u JOIN dom d USING (host)
+GROUP BY u.host, d.public_suffix, d.domain
+ORDER BY u.host
+"""
+
+
 def q_decontaminate_bloom(spark, sf_dir):
     """Bloom-prefiltered decontamination — the memory-bounded scale path
     for `decontaminate` (same GPT-3/FLAN 13-gram rule, same synthesized
@@ -3075,6 +3183,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_dedup": q_segment_dedup,
     "url_domain_stats": q_url_domain_stats,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "url_domain_psl": q_url_domain_psl,
 }
 
 ORACLES: dict[str, str] = {
@@ -3140,6 +3249,7 @@ ORACLES: dict[str, str] = {
     "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
     "perplexity_score": ORACLE_PERPLEXITY_SCORE,
     "decontaminate_bloom": ORACLE_DECONTAMINATE_BLOOM,
+    "url_domain_psl": ORACLE_URL_DOMAIN_PSL,
     "segment_dedup": ORACLE_SEGMENT_DEDUP,
     "url_domain_stats": ORACLE_URL_DOMAIN_STATS,
 }

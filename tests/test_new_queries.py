@@ -266,3 +266,43 @@ def test_bloom_positions_bounded_by_bits(spark):
     vals = [r["pos"] for r in pos.collect()]
     assert len(vals) == len(set(vals)) <= 16
     assert all(0 <= v < 16 for v in vals)
+
+
+# ------------------------------------------------------------ psl domains
+
+PSL_CASES = {
+    # host -> (public_suffix, registrable_domain)
+    "example.com": ("com", "example.com"),
+    "www.example.com": ("com", "example.com"),
+    "news.bbc.co.uk": ("co.uk", "bbc.co.uk"),  # longest rule wins
+    "a.blogspot.com": ("blogspot.com", "a.blogspot.com"),  # private suffix
+    "foo.bar.ck": ("bar.ck", "foo.bar.ck"),  # *.ck wildcard
+    "www.ck": ("ck", "www.ck"),  # !www.ck exception
+    "x.www.ck": ("ck", "www.ck"),  # exception matched as suffix
+    "ck": ("ck", ""),  # host IS a public suffix
+    "localhost": ("localhost", ""),  # unlisted single label
+    "data.ac.jp": ("ac.jp", "data.ac.jp"),
+    "deep.sub.shop.com.au": ("com.au", "shop.com.au"),
+    "": ("", ""),  # unparseable host propagates empty
+}
+
+
+def test_registrable_domain_psl_cases(spark):
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(PSL_CASES)], ["doc_id", "url_host"]
+    )
+    out = UO.registrable_domain_psl(df, spark)
+    rows = {r["url_host"]: r for r in out.collect()}
+    assert len(out.columns) == 4  # helper columns dropped
+    for host, (pub, dom) in PSL_CASES.items():
+        assert rows[host]["psl_public_suffix"] == pub, host
+        assert rows[host]["psl_domain"] == dom, host
+
+
+def test_registrable_domain_psl_no_row_duplication(spark):
+    # 'ck' carries a plain AND a wildcard rule on the same join key —
+    # the per-length rule slices must collapse them to one row
+    df = spark.createDataFrame(
+        [(i, "foo.bar.ck") for i in range(7)], ["doc_id", "url_host"]
+    )
+    assert UO.registrable_domain_psl(df, spark).count() == 7

@@ -223,3 +223,17 @@ def test_decontaminate_bloom_screen_is_all_broadcast(spark):
     assert "SortMergeJoin" not in p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_url_domain_psl_zero_corpus_shuffle(spark):
+    # one broadcast left join per rule length, argmax as projection; the
+    # ONLY exchange is the final rollup's hash aggregation
+    p = plan(spark, "url_domain_psl")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    import re
+    ex = [m for m in re.finditer(r"Exchange hashpartitioning\(([a-z_0-9#, ]+)\)",
+                                 p)]
+    assert all(m.group(1).startswith(("host", "url_host")) for m in ex), [
+        m.group(0) for m in ex]
