@@ -3125,6 +3125,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "embedding_kmeans_clusters": q_embedding_kmeans_clusters,
+    # --- round-6 additions, placed INSIDE the driver's first-50 check
+    # window (right after the 12 rotated entries) so they get driver
+    # rows the round they ship; the five entries this displaces from
+    # positions 46-50 (embedding_cosine_topk .. confidence_report) all
+    # have green rows in CORRECTNESS_r01..r05, keeping the per-round
+    # union complete over all 67 entries.
+    "perplexity_score": q_perplexity_score,
+    "segment_dedup": q_segment_dedup,
+    "url_domain_stats": q_url_domain_stats,
+    "decontaminate_bloom": q_decontaminate_bloom,
+    "url_domain_psl": q_url_domain_psl,
     "extract_spans_e2e": q_extract_spans_e2e,
     "extract_spans_ocr_e2e": q_extract_spans_ocr_e2e,
     "media_features": q_media_features,
@@ -3175,15 +3186,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components_star": q_dedup_components_star,
     "dedup_representatives": q_dedup_representatives,
     "tfidf_keywords": q_tfidf_keywords,
-    # --- round-6 additions: APPENDED AT THE BACK so the driver-checked
-    # first-50 window stays exactly the round-6 rotation plan; these are
-    # the round-7 front-rotation candidates (verified meanwhile by
-    # scripts/verify_queries.py and tests/test_new_queries.py).
-    "perplexity_score": q_perplexity_score,
-    "segment_dedup": q_segment_dedup,
-    "url_domain_stats": q_url_domain_stats,
-    "decontaminate_bloom": q_decontaminate_bloom,
-    "url_domain_psl": q_url_domain_psl,
 }
 
 ORACLES: dict[str, str] = {
