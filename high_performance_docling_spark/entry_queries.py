@@ -3101,6 +3101,154 @@ ORDER BY t.doc_id
 """
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement via Efraimidis–Spirakis
+    (IPL 2006): each row draws u ~ U(0,1] and the k rows with the
+    largest u^(1/w) win — equivalently (log-space, monotone) the
+    largest ln(u)/w. The canonical training-data mixture sampler:
+    upweight long/high-quality docs without a global shuffle or a
+    driver-side pass. u derives from a 52-bit md5 hash (exact in
+    double), so the sample — not just its distribution — is
+    deterministic and byte-identical across engines and re-runs
+    (append-stable, like the md5 train/val/test split).
+
+    Scale shape: one pure projection + orderBy(limit k) →
+    TakeOrderedAndProject (per-partition top-k heaps, k rows to the
+    driver — no global sort materialization; pinned in test_plans)."""
+    k = 100
+    docs = _t(spark, sf_dir, "documents")
+    w = F.greatest(F.length("text"), F.lit(1)).cast("double")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 13
+        ),
+        16, 10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(1 << 52))
+    out = docs.select(
+        "doc_id",
+        w.cast("bigint").alias("weight"),
+        (F.log(u) / w).alias("k_raw"),
+    )
+    return (
+        out.orderBy(F.col("k_raw").desc(), "doc_id").limit(k)
+        # + 0.0 normalizes IEEE -0.0 (keys this close to 0 round to it)
+        .select(
+            "doc_id", "weight",
+            (F.round("k_raw", 6) + F.lit(0.0)).alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+    )
+
+
+ORACLE_SAMPLE_WEIGHTED = """
+WITH s AS (
+  SELECT doc_id,
+         greatest(length(text), 1)::BIGINT AS weight,
+         ln((('0x' || substr(md5('ws:' || doc_id), 1, 13))::BIGINT + 1)
+            / 4503599627370496.0)
+           / greatest(length(text), 1)::DOUBLE AS k_raw
+  FROM documents
+)
+SELECT doc_id, weight, round(k_raw, 6) + 0.0 AS es_key
+FROM s ORDER BY k_raw DESC, doc_id LIMIT 100
+"""
+
+
+def q_hll_distinct_sketch(spark, sf_dir):
+    """HyperLogLog distinct-count sketch (Flajolet et al., AofA 2007)
+    per event_type, m=64 registers — the constant-memory counterpart to
+    `kmv_distinct_sketch` (KMV keeps k hashes; HLL keeps m 6-bit
+    maxima, the shape every engine's approx_count_distinct uses).
+    Deterministic md5 hashing makes the ESTIMATE itself byte-identical
+    across engines: register = h mod 64, rho = leading zeros of the
+    remaining 46 bits + 1 via exact integer bit-length (no float log),
+    raw = alpha_64 * m^2 / (sum 2^-rho + empty), linear-counting
+    correction m*ln(m/empty) when raw <= 2.5m and empties exist.
+
+    Scale shape: two hash aggregations — (event_type, reg) max(rho)
+    caps the first at 64 rows per key with map-side partial combine,
+    the second folds 64 rows per key; empty registers are counted
+    arithmetically (m - n_regs), so no register-grid join exists
+    anywhere. n_exact rides along to expose the sketch error."""
+    m, p, alpha = 64, 6, 0.709
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 1, 13
+        ),
+        16, 10,
+    ).cast("bigint")
+    wbits = F.shiftright(F.col("h"), p)
+    rho = F.when(wbits == 0, F.lit(47)).otherwise(
+        F.lit(47) - F.length(F.bin(wbits))
+    )
+    regs = (
+        ev.select("event_type", h.alias("h"))
+        .select("event_type", (F.col("h") % m).alias("reg"), rho.alias("rho"))
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    zeros = F.lit(m) - F.col("n_regs")
+    raw = F.lit(alpha * m * m) / (F.col("s_present") + zeros.cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        agg.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.round(est, 4).alias("hll_estimate"),
+            zeros.cast("int").alias("empty_registers"),
+            "n_exact",
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_HLL_DISTINCT = """
+WITH hx AS (
+  SELECT event_type,
+         ('0x' || substr(md5('hll:' || user_id), 1, 13))::BIGINT AS h
+  FROM events
+),
+regs AS (
+  SELECT event_type, h % 64 AS reg,
+         max(CASE WHEN h // 64 = 0 THEN 47
+                  ELSE 47 - length(bin(h // 64)) END) AS mx
+  FROM hx GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         sum(pow(2.0, -mx)) AS s_present,
+         count(*) AS n_regs
+  FROM regs GROUP BY 1
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT event_type,
+       round(CASE WHEN (0.709 * 4096.0) / (s_present + (64 - n_regs)) <= 160.0
+                   AND n_regs < 64
+                  THEN 64.0 * ln(64.0 / (64 - n_regs))
+                  ELSE (0.709 * 4096.0) / (s_present + (64 - n_regs)) END,
+             4) AS hll_estimate,
+       (64 - n_regs)::INT AS empty_registers,
+       n_exact
+FROM agg JOIN exact USING (event_type)
+ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3186,6 +3334,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components_star": q_dedup_components_star,
     "dedup_representatives": q_dedup_representatives,
     "tfidf_keywords": q_tfidf_keywords,
+    # --- late round-6 additions: appended BEHIND the first-50 window
+    # (verified by scripts/verify_queries.py + tests meanwhile); these
+    # are the round-7 front-rotation candidates.
+    "sample_weighted": q_sample_weighted,
+    "hll_distinct_sketch": q_hll_distinct_sketch,
 }
 
 ORACLES: dict[str, str] = {
@@ -3252,6 +3405,8 @@ ORACLES: dict[str, str] = {
     "perplexity_score": ORACLE_PERPLEXITY_SCORE,
     "decontaminate_bloom": ORACLE_DECONTAMINATE_BLOOM,
     "url_domain_psl": ORACLE_URL_DOMAIN_PSL,
+    "sample_weighted": ORACLE_SAMPLE_WEIGHTED,
+    "hll_distinct_sketch": ORACLE_HLL_DISTINCT,
     "segment_dedup": ORACLE_SEGMENT_DEDUP,
     "url_domain_stats": ORACLE_URL_DOMAIN_STATS,
 }

@@ -306,3 +306,59 @@ def test_registrable_domain_psl_no_row_duplication(spark):
         [(i, "foo.bar.ck") for i in range(7)], ["doc_id", "url_host"]
     )
     assert UO.registrable_domain_psl(df, spark).count() == 7
+
+
+# ------------------------------------------------- weighted sampling + hll
+
+def test_sample_weighted_matches_python_reference(spark):
+    """Top-k by u^(1/w) recomputed independently with hashlib/math."""
+    import hashlib
+
+    from high_performance_docling_spark.entry_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["sample_weighted"](spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text").collect()
+    keys = {}
+    for r in docs:
+        w = max(len(r["text"]), 1)
+        h = int(hashlib.md5(f"ws:{r['doc_id']}".encode()).hexdigest()[:13], 16)
+        keys[r["doc_id"]] = (math.log((h + 1) / float(1 << 52)) / w, w)
+    top = sorted(keys.items(), key=lambda kv: (-kv[1][0], kv[0]))[:100]
+    # selection is by RAW key; presentation re-sorts by the rounded key
+    top = sorted(top, key=lambda kv: (-round(kv[1][0], 6), kv[0]))
+    assert [r["doc_id"] for r in out] == [d for d, _ in top]
+    for r, (d, (k, w)) in zip(out, top):
+        assert r["weight"] == w
+        assert abs(r["es_key"] - round(k, 6)) < 1e-9
+
+
+def test_sample_weighted_prefers_heavy_docs(spark):
+    """E-S with 100x weight must dominate the sample (property, not
+    statistics: P(any specific light doc beating a 100x-heavier one) is
+    tiny, and the draw is deterministic — this pins the weighting is
+    actually applied, not just computed)."""
+    from high_performance_docling_spark.entry_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["sample_weighted"](spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    ws = [r["weight"] for r in out]
+    # sampled mean weight exceeds the corpus mean weight
+    allw = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.avg(F.greatest(F.length("text"), F.lit(1)))).first()[0]
+    assert len(out) == min(100, docs)
+    assert sum(ws) / len(ws) > allw
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """m=64 -> relative standard error 1.04/8 = 13%; assert 4 sigma."""
+    from high_performance_docling_spark.entry_queries import QUERIES
+
+    out = QUERIES["hll_distinct_sketch"](spark, "/root/testdata/sf0.01").collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["n_exact"] > 0
+        rel = abs(r["hll_estimate"] - r["n_exact"]) / r["n_exact"]
+        assert rel < 0.52, (r["event_type"], r["hll_estimate"], r["n_exact"])

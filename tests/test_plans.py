@@ -237,3 +237,18 @@ def test_url_domain_psl_zero_corpus_shuffle(spark):
                                  p)]
     assert all(m.group(1).startswith(("host", "url_host")) for m in ex), [
         m.group(0) for m in ex]
+
+
+def test_sample_weighted_is_take_ordered(spark):
+    # per-partition top-k heaps, k rows to the driver — never a global sort
+    p = plan(spark, "sample_weighted")
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_hll_sketch_is_two_hash_aggs(spark):
+    p = plan(spark, "hll_distinct_sketch")
+    assert p.count("HashAggregate") >= 4  # partial+final per agg
+    assert "Window" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
