@@ -2,7 +2,17 @@
 """Regenerate the frozen golden fixtures (tests/goldens/*.json) after a
 DELIBERATE corpus/kernel semantics change. The formats mirror what
 tests/test_regression_golden.py asserts; run the suite afterwards —
-goldens are only as good as the review of their diff."""
+goldens are only as good as the review of their diff.
+
+Independent cross-check (advisory r5: a corpus change that forces
+golden regeneration makes the golden-regression tests vacuous for that
+change): before writing ANY golden file this script asserts the
+round-trip invariant — on a noise-free corpus (different seeds than
+the goldens) extraction must reproduce the input spans exactly. The
+invariant depends only on the generator/extractor CONTRACT, not on any
+frozen output, so a behavioral regression cannot be baked into fresh
+goldens without tripping it here first. The DuckDB registry oracles
+(scripts/verify_queries.py) remain the second independent check."""
 
 from __future__ import annotations
 
@@ -116,7 +126,39 @@ def regen_layout_and_tables() -> None:
     print(f"tables_seed42.json: {len(tables)} tables")
 
 
+def validate_roundtrip() -> None:
+    """Gate: input == output on noise-free corpora (seeds disjoint from
+    the goldens') BEFORE any golden is rewritten. Mirrors
+    tests/test_corpus_roundtrip.py::test_noise_free_roundtrip_exact."""
+    from high_performance_docling_spark.kernels.sanitize import sanitize_text
+    import high_performance_docling_spark.labels as L
+
+    checked = 0
+    for seed in (7, 101):
+        cfg = GenConfig(seed=seed, n_docs=20, noise=False)
+        for i in range(cfg.n_docs):
+            d = generate_doc(cfg, i)
+            out = extract_doc_spans(d["doc_id"], d["spans"], cfg)
+            assert len(out) == len(d["spans"]), (seed, d["doc_id"])
+            for s_in, s_out in zip(d["spans"], out):
+                if s_in["kind"] == L.PICTURE:
+                    exp = (s_in["kind"], "", s_in["media_ref"])
+                elif s_in["kind"] == L.TABLE:
+                    toks = [t for t in s_in["text"].split() if t != "^"]
+                    exp = (s_in["kind"], " ".join(toks), "")
+                else:
+                    exp = (s_in["kind"],
+                           sanitize_text(s_in["text"].split("\n")), "")
+                got = (s_out["kind"], s_out["text"], s_out["media_ref"],
+                       s_out["order"])
+                assert got == exp + (s_in["offset"],), (seed, d["doc_id"])
+            checked += 1
+    print(f"round-trip invariant: {checked} noise-free docs exact "
+          "(independent of all goldens) — proceeding to regen")
+
+
 if __name__ == "__main__":
+    validate_roundtrip()
     regen_spans()
     regen_enriched_spans()
     regen_layout_and_tables()
