@@ -3170,45 +3170,27 @@ def q_hll_distinct_sketch(spark, sf_dir):
     caps the first at 64 rows per key with map-side partial combine,
     the second folds 64 rows per key; empty registers are counted
     arithmetically (m - n_regs), so no register-grid join exists
-    anywhere. n_exact rides along to expose the sketch error."""
-    m, p, alpha = 64, 6, 0.709
+    anywhere. n_exact rides along to expose the sketch error. The
+    register max is MERGEABLE — the same primitives maintain registers
+    incrementally under Structured Streaming (streaming/sketches.py,
+    stream==batch asserted)."""
+    from .operators import sketches as SK
+
     ev = _t(spark, sf_dir, "events")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 1, 13
-        ),
-        16, 10,
-    ).cast("bigint")
-    wbits = F.shiftright(F.col("h"), p)
-    rho = F.when(wbits == 0, F.lit(47)).otherwise(
-        F.lit(47) - F.length(F.bin(wbits))
-    )
+    reg, rho = SK.hll_reg_rho(F.col("user_id"))
     regs = (
-        ev.select("event_type", h.alias("h"))
-        .select("event_type", (F.col("h") % m).alias("reg"), rho.alias("rho"))
+        ev.select("event_type", reg, rho)
         .groupBy("event_type", "reg")
         .agg(F.max("rho").alias("mx"))
     )
-    agg = regs.groupBy("event_type").agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s_present"),
-        F.count(F.lit(1)).alias("n_regs"),
-    )
-    zeros = F.lit(m) - F.col("n_regs")
-    raw = F.lit(alpha * m * m) / (F.col("s_present") + zeros.cast("double"))
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (zeros > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
-    ).otherwise(raw)
+    est = SK.hll_estimate_from_registers(regs, ["event_type"])
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact")
     )
     return (
-        agg.join(exact, "event_type")
+        est.join(exact, "event_type")
         .select(
-            "event_type",
-            F.round(est, 4).alias("hll_estimate"),
-            zeros.cast("int").alias("empty_registers"),
-            "n_exact",
+            "event_type", "hll_estimate", "empty_registers", "n_exact"
         )
         .orderBy("event_type")
     )

@@ -96,3 +96,62 @@ def test_stream_extract_spans_matches_batch(spark, tmp_path):
         for r in extract_spans(spark, docs, cfg).collect()
     }
     assert got == want and len(got) == 16
+
+
+def test_stream_hll_registers_match_batch_and_estimate(spark, tmp_path):
+    """Mergeability: HLL registers streamed across micro-batches equal
+    the batch registers over the same files (byte-identical — max is
+    commutative/associative/idempotent, hash deterministic), and the
+    shared finalization yields the batch estimate."""
+    import shutil
+
+    from high_performance_docling_spark.operators import sketches as SK
+    from high_performance_docling_spark.streaming import stream_hll_registers
+
+    src = tmp_path / "events_hll"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "part-0.parquet")
+    # duplicate feed: at-least-once delivery must not move a register
+    shutil.copy(f"{SF}/events.parquet", src / "part-1.parquet")
+
+    regs = stream_hll_registers(spark, str(src), window="1 hour")
+    got = {
+        (str(r["window_start"]), r["event_type"], r["reg"]): r["mx"]
+        for r in run_stream_once(regs, "t_hll").collect()
+    }
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    reg, rho = SK.hll_reg_rho(F.col("user_id"))
+    batch_regs = (
+        ev.select("ts", "event_type", reg, rho)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type", "reg")
+        .agg(F.max("rho").alias("mx"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "reg", "mx")
+    )
+    want = {
+        (str(r["window_start"]), r["event_type"], r["reg"]): r["mx"]
+        for r in batch_regs.collect()
+    }
+    assert got == want and len(got) > 0
+
+    # shared finalization over the streamed registers == batch estimate
+    streamed = spark.createDataFrame(
+        [(k[0], k[1], k[2], v) for k, v in got.items()],
+        ["window_start", "event_type", "reg", "mx"],
+    )
+    est_s = {
+        (r["window_start"], r["event_type"]): r["hll_estimate"]
+        for r in SK.hll_estimate_from_registers(
+            streamed, ["window_start", "event_type"]).collect()
+    }
+    est_b = {
+        (str(r["window_start"]), r["event_type"]): r["hll_estimate"]
+        for r in SK.hll_estimate_from_registers(
+            batch_regs.withColumn(
+                "window_start", F.col("window_start").cast("string")),
+            ["window_start", "event_type"]).collect()
+    }
+    assert est_s == est_b and len(est_s) > 0
