@@ -3231,6 +3231,134 @@ ORDER BY event_type
 """
 
 
+def q_domain_balanced_sample(spark, sf_dir):
+    """Domain-balanced corpus sampling — the curation move that caps
+    mega-domain dominance in a crawl (CCNet/Gopher-style rebalancing):
+    weight each document by 1/|its registrable domain| and draw an
+    Efraimidis–Spirakis sample, so every domain gets roughly equal
+    representation regardless of how many pages it contributed. A
+    composition of two round-6 operators: exact-PSL domain resolution
+    (registrable_domain_psl — broadcast rule joins, zero corpus
+    shuffle) feeding the deterministic E-S top-k (key = ln(u)/w =
+    n_dom * ln(u) for w = 1/n_dom, u from a 52-bit md5 — exact in
+    double, append-stable).
+
+    Scale shape: PSL projections + ONE keyed shuffle (the domain
+    frequency agg; map-side combine, domain keys are the power-law
+    case — salt via operators/skew if one domain exceeds a partition),
+    a frequency join (broadcast at test scale; the frequency table is
+    |domains| rows, far smaller than the corpus), then
+    TakeOrderedAndProject."""
+    from .operators import url_ops as UO
+
+    k = 64
+    docs = _t(spark, sf_dir, "documents")
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in _PSL_HOSTS]),
+        (F.col("doc_id") % 12 + 1).cast("int"),
+    )
+    dom = UO.registrable_domain_psl(
+        docs.withColumn("url_host", host), spark
+    ).select("doc_id", F.col("psl_domain").alias("domain"))
+    freq = dom.groupBy("domain").agg(F.count(F.lit(1)).alias("n_dom"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dbs:"), F.col("doc_id").cast("string"))),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 52))
+    keyed = dom.join(F.broadcast(freq), "domain").select(
+        "doc_id", "domain", "n_dom",
+        (F.col("n_dom") * F.log(u)).alias("k_raw"),
+    )
+    return (
+        keyed.orderBy(F.col("k_raw").desc(), "doc_id").limit(k)
+        .select(
+            "doc_id", "domain", "n_dom",
+            (F.round("k_raw", 6) + F.lit(0.0)).alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+    )
+
+
+ORACLE_DOMAIN_BALANCED_SAMPLE = r"""
+WITH u AS (
+  SELECT doc_id,
+         (['example.com','www.example.com','news.bbc.co.uk',
+           'a.blogspot.com','b.blogspot.com','foo.bar.ck','www.ck',
+           'x.www.ck','ck','localhost','data.ac.jp',
+           'deep.sub.shop.com.au'])[(doc_id % 12 + 1)::INT] AS host
+  FROM documents
+),
+rules(rule) AS (VALUES
+  ('com'),('org'),('net'),('edu'),('gov'),('io'),('de'),('fr'),('nl'),
+  ('jp'),('ac.jp'),('uk'),('co.uk'),('org.uk'),('ac.uk'),('au'),
+  ('com.au'),('cn'),('com.cn'),('br'),('com.br'),('in'),('co.in'),
+  ('us'),('ck'),('*.ck'),('!www.ck'),('blogspot.com')
+),
+pr AS (
+  SELECT CASE WHEN rule LIKE '!%' THEN substr(rule, 2)
+              WHEN rule LIKE '*.%' THEN substr(rule, 3)
+              ELSE rule END AS key,
+         (rule LIKE '*.%')::INT AS wild,
+         (rule LIKE '!%')::INT AS exc
+  FROM rules
+),
+prk AS (
+  SELECT key, max(1 - wild - exc) AS p, max(wild) AS w, max(exc) AS e
+  FROM pr GROUP BY key
+),
+h AS (
+  SELECT DISTINCT host, len(string_split(host, '.')) AS hn FROM u
+),
+sfx AS (
+  SELECT host, hn, k,
+         array_to_string(string_split(host, '.')[hn - k + 1 : hn],
+                         '.') AS sfx
+  FROM (SELECT host, hn, unnest(range(1, hn + 1)) AS k FROM h)
+),
+m AS (
+  SELECT s.host, s.hn,
+         max(CASE WHEN e = 1 THEN s.k - 1 END) AS excpl,
+         max(CASE WHEN p = 1 THEN s.k END) AS ppl,
+         max(CASE WHEN w = 1 AND s.hn > s.k THEN s.k + 1 END) AS wpl
+  FROM sfx s JOIN prk ON s.sfx = prk.key
+  GROUP BY s.host, s.hn
+),
+res AS (
+  SELECT h.host, h.hn,
+         coalesce(m.excpl,
+                  greatest(coalesce(m.ppl, 1), coalesce(m.wpl, 1), 1))
+           AS pl
+  FROM h LEFT JOIN m USING (host)
+),
+dmap AS (
+  SELECT host,
+         CASE WHEN hn >= pl + 1
+              THEN array_to_string(string_split(host, '.')[hn - pl : hn],
+                                   '.')
+              ELSE '' END AS domain
+  FROM res
+),
+perdoc AS (
+  SELECT u.doc_id, d.domain FROM u JOIN dmap d USING (host)
+),
+freq AS (SELECT domain, count(*) AS n_dom FROM perdoc GROUP BY domain),
+keyed AS (
+  SELECT doc_id, domain, n_dom,
+         n_dom * ln((('0x' || substr(md5('dbs:' || doc_id), 1, 13))::BIGINT
+                     + 1) / 4503599627370496.0) AS k_raw
+  FROM perdoc JOIN freq USING (domain)
+)
+SELECT doc_id, domain, n_dom, round(k_raw, 6) + 0.0 AS es_key
+FROM keyed ORDER BY k_raw DESC, doc_id LIMIT 64
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3321,6 +3449,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # are the round-7 front-rotation candidates.
     "sample_weighted": q_sample_weighted,
     "hll_distinct_sketch": q_hll_distinct_sketch,
+    "domain_balanced_sample": q_domain_balanced_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -3389,6 +3518,7 @@ ORACLES: dict[str, str] = {
     "url_domain_psl": ORACLE_URL_DOMAIN_PSL,
     "sample_weighted": ORACLE_SAMPLE_WEIGHTED,
     "hll_distinct_sketch": ORACLE_HLL_DISTINCT,
+    "domain_balanced_sample": ORACLE_DOMAIN_BALANCED_SAMPLE,
     "segment_dedup": ORACLE_SEGMENT_DEDUP,
     "url_domain_stats": ORACLE_URL_DOMAIN_STATS,
 }

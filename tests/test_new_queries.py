@@ -362,3 +362,23 @@ def test_hll_estimate_within_error_bound(spark):
         assert r["n_exact"] > 0
         rel = abs(r["hll_estimate"] - r["n_exact"]) / r["n_exact"]
         assert rel < 0.52, (r["event_type"], r["hll_estimate"], r["n_exact"])
+
+
+def test_domain_balanced_sample_caps_heavy_domains(spark):
+    """Inverse-domain-frequency weights must pull per-domain shares
+    toward uniform: every domain represented, and the three 2-host
+    domains (50% of the corpus) capped well below their raw share.
+    Deterministic draw — these are exact facts about the fixed sample,
+    not statistics."""
+    from collections import Counter
+
+    from high_performance_docling_spark.entry_queries import QUERIES
+
+    rows = QUERIES["domain_balanced_sample"](
+        spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 64
+    c = Counter(r["domain"] for r in rows)
+    assert len(c) == 9  # every registrable domain present
+    heavy = c["example.com"] + c["www.ck"] + c[""]  # 2 hosts each
+    assert heavy < 0.45 * 64  # raw corpus share would be ~50%
+    assert max(c.values()) <= 22  # ~3x the uniform expectation

@@ -252,3 +252,13 @@ def test_hll_sketch_is_two_hash_aggs(spark):
     assert "Window" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_domain_balanced_sample_plan(spark):
+    # PSL broadcast joins + broadcast frequency join + top-k heap; the
+    # only keyed exchange is the domain-frequency aggregation
+    p = plan(spark, "domain_balanced_sample")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
