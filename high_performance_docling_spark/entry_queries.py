@@ -3231,6 +3231,89 @@ ORDER BY event_type
 """
 
 
+def q_hll_hourly_rollup(spark, sf_dir):
+    """Sketch RE-AGGREGABILITY — the continuous-aggregate pattern that
+    makes sketches pay off at 100 TB: maintain registers at the HOUR
+    grain once, answer the DAY (or any coarser) grain by a second max
+    over 64-row groups, never re-touching raw events. The correctness
+    claim (max associativity: merge-of-hourly == direct-daily) is
+    proven by the oracle itself, which computes daily registers
+    DIRECTLY from raw events with no hourly intermediate — the hash
+    match holds only if the two-level merge is exact.
+
+    Scale shape: two keyed hash aggs with map-side combine (hourly
+    registers ≤ 64 rows per (day, hour, type); the daily re-agg folds
+    24×64-row groups) + the estimate projection; re-answering a
+    month/quarter costs the re-agg only."""
+    from .operators import sketches as SK
+
+    def build():
+        ev = _t(spark, sf_dir, "events")
+        epoch = F.col("ts").cast("timestamp").cast("double")
+        reg, rho = SK.hll_reg_rho(F.col("user_id"))
+        hourly = (
+            ev.select(
+                F.floor(epoch / 86400).cast("long").alias("day"),
+                F.floor(epoch / 3600).cast("long").alias("hour"),
+                "event_type", reg, rho,
+            )
+            .groupBy("day", "hour", "event_type", "reg")
+            .agg(F.max("rho").alias("mx"))
+        )
+        daily_regs = hourly.groupBy("day", "event_type", "reg").agg(
+            F.max("mx").alias("mx")
+        )
+        est = SK.hll_estimate_from_registers(daily_regs, ["day", "event_type"])
+        exact = (
+            ev.select(
+                F.floor(epoch / 86400).cast("long").alias("day"),
+                "event_type", "user_id",
+            )
+            .groupBy("day", "event_type")
+            .agg(F.countDistinct("user_id").alias("n_exact"))
+        )
+        return est.join(exact, ["day", "event_type"]).orderBy(
+            "day", "event_type"
+        )
+
+    return _utc_plan(spark, build)
+
+
+ORACLE_HLL_HOURLY_ROLLUP = """
+WITH hx AS (
+  SELECT floor(epoch(ts) / 86400)::BIGINT AS day, event_type,
+         ('0x' || substr(md5('hll:' || user_id), 1, 13))::BIGINT AS h
+  FROM events
+),
+regs AS (
+  SELECT day, event_type, h % 64 AS reg,
+         max(CASE WHEN h // 64 = 0 THEN 47
+                  ELSE 47 - length(bin(h // 64)) END) AS mx
+  FROM hx GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT day, event_type,
+         sum(pow(2.0, -mx)) AS s_present, count(*) AS n_regs
+  FROM regs GROUP BY 1, 2
+),
+exact AS (
+  SELECT floor(epoch(ts) / 86400)::BIGINT AS day, event_type,
+         count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY 1, 2
+)
+SELECT day, event_type,
+       round(CASE WHEN (0.709 * 4096.0) / (s_present + (64 - n_regs)) <= 160.0
+                   AND n_regs < 64
+                  THEN 64.0 * ln(64.0 / (64 - n_regs))
+                  ELSE (0.709 * 4096.0) / (s_present + (64 - n_regs)) END,
+             4) AS hll_estimate,
+       (64 - n_regs)::INT AS empty_registers,
+       n_exact
+FROM agg JOIN exact USING (day, event_type)
+ORDER BY day, event_type
+"""
+
+
 def q_domain_balanced_sample(spark, sf_dir):
     """Domain-balanced corpus sampling — the curation move that caps
     mega-domain dominance in a crawl (CCNet/Gopher-style rebalancing):
@@ -3450,6 +3533,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_weighted": q_sample_weighted,
     "hll_distinct_sketch": q_hll_distinct_sketch,
     "domain_balanced_sample": q_domain_balanced_sample,
+    "hll_hourly_rollup": q_hll_hourly_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -3519,6 +3603,7 @@ ORACLES: dict[str, str] = {
     "sample_weighted": ORACLE_SAMPLE_WEIGHTED,
     "hll_distinct_sketch": ORACLE_HLL_DISTINCT,
     "domain_balanced_sample": ORACLE_DOMAIN_BALANCED_SAMPLE,
+    "hll_hourly_rollup": ORACLE_HLL_HOURLY_ROLLUP,
     "segment_dedup": ORACLE_SEGMENT_DEDUP,
     "url_domain_stats": ORACLE_URL_DOMAIN_STATS,
 }

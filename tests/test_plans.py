@@ -262,3 +262,13 @@ def test_domain_balanced_sample_plan(spark):
     assert p.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_hll_hourly_rollup_is_chained_hash_aggs(spark):
+    # hour-grain registers -> day-grain max -> estimate: pure agg chain,
+    # no window, no join until the tiny exact-count side
+    p = plan(spark, "hll_hourly_rollup")
+    assert p.count("HashAggregate") >= 6
+    assert "Window" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
