@@ -116,3 +116,69 @@ def test_event_time_timeout_flushes_idle_session(spark, tmp_path):
     t0 = 1704067200.0  # 2024-01-01 00:00:00 UTC
     assert (1, t0, t0 + 60.0, 2, 15.0) in rows      # idle user flushed
     assert (2, t0 + 30.0, t0 + 30.0, 1, 1.0) in rows  # user 2's first session
+
+
+def test_stream_weighted_reservoir_matches_batch_topk(spark, tmp_path):
+    """The final streamed reservoir (rows at max seq per group) equals
+    the batch E-S top-k over the same rows — byte-identical keys — and
+    a duplicated at-least-once feed does not win extra slots."""
+    import shutil
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from high_performance_docling_spark.streaming import (
+        es_weighted_key,
+        stream_weighted_reservoir,
+    )
+    from high_performance_docling_spark.streaming.reservoir import RESERVOIR_K
+
+    src = tmp_path / "events_res"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "part-0.parquet")
+    shutil.copy(f"{SF}/events.parquet", src / "part-1.parquet")  # redelivery
+
+    out = stream_weighted_reservoir(spark, str(src))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_reservoir")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("t_reservoir").collect()
+    assert max(r["seq"] for r in rows) >= 2  # really ran multi-batch
+    final = {}
+    for r in rows:
+        final.setdefault(r["event_type"], []).append(r)
+    got = {}
+    for et, rs in final.items():
+        mx = max(r["seq"] for r in rs)
+        got[et] = {
+            (r["event_id"], round(r["es_key"], 9), r["weight"])
+            for r in rs if r["seq"] == mx
+        }
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    keyed = ev.select(
+        "event_type", "event_id",
+        F.col("value").cast("double").alias("weight"),
+        es_weighted_key(F.col("event_id"), F.col("value")).alias("es_key"),
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.col("es_key").desc(), "event_id"
+    )
+    want_rows = (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RESERVOIR_K)
+        .collect()
+    )
+    want = {}
+    for r in want_rows:
+        want.setdefault(r["event_type"], set()).add(
+            (r["event_id"], round(r["es_key"], 9), r["weight"])
+        )
+    assert got == want and len(got) > 0
