@@ -3231,6 +3231,109 @@ ORDER BY event_type
 """
 
 
+def q_bpe_train_merges(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING (Sennrich et al., ACL 2016) —
+    3 merge rounds over the documents word-frequency table; output is
+    the learned merge list (iteration, left_sym, right_sym, pair_count),
+    i.e. the tokenizer model itself. Complements `bpe_token_profile`
+    (which APPLIES a fixed merge table). Like `embedding_ivf_ann`'s
+    k-means fit, construction legitimately runs Spark jobs (one pair
+    agg + 1-row argmax per round — documented in
+    tests/test_registry.CONSTRUCTION_RUNS_JOBS); the word table itself
+    never leaves the cluster, and the greedy in-word merge is a pure
+    JVM-side F.aggregate fold. The DuckDB oracle replays all 3 rounds
+    unrolled (pair count → argmax → gaps-and-islands parity merge,
+    which equals the sequential greedy fold: overlapping matches exist
+    only for left==right runs, where even-offset occurrences merge)."""
+    from .operators import text_analysis as TA2
+
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "word"
+            )
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split("word", "").alias("syms"), "freq")
+    )
+    recs = TA2.bpe_train(words, n_merges=3)
+    return spark.createDataFrame(
+        recs, "it int, left_sym string, right_sym string, pair_count bigint"
+    ).orderBy("it")
+
+
+def _bpe_oracle_iteration(src: str, k: int) -> str:
+    """One unrolled BPE round: pair count → deterministic argmax →
+    parity-based greedy merge (equivalent to the sequential fold)."""
+    return f"""
+p{k} AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, sum(freq)::BIGINT AS n
+  FROM {src}, unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+b{k} AS (SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1),
+pos{k} AS (
+  SELECT wid, freq, i, syms[i] AS s,
+         (i < len(syms) AND syms[i] = (SELECT l FROM b{k})
+          AND syms[i+1] = (SELECT r FROM b{k}))::INT AS m
+  FROM {src}, unnest(range(1, len(syms)+1)) AS u(i)
+),
+runs{k} AS (
+  SELECT *, i - row_number() OVER (PARTITION BY wid, m ORDER BY i) AS grp
+  FROM pos{k}
+),
+starts{k} AS (
+  SELECT *, CASE WHEN m = 1 AND (row_number() OVER
+                 (PARTITION BY wid, m, grp ORDER BY i) - 1) % 2 = 0
+                 THEN 1 ELSE 0 END AS mstart
+  FROM runs{k}
+),
+keep{k} AS (
+  SELECT * FROM (
+    SELECT *, lead(s) OVER (PARTITION BY wid ORDER BY i) AS nxt,
+           coalesce(lag(mstart) OVER (PARTITION BY wid ORDER BY i), 0)
+             AS consumed
+    FROM starts{k}
+  ) WHERE consumed = 0
+),
+s{k} AS (
+  SELECT wid, freq,
+         list(CASE WHEN mstart = 1 THEN s || nxt ELSE s END ORDER BY i)
+           AS syms
+  FROM keep{k} GROUP BY wid, freq
+)"""
+
+
+ORACLE_BPE_TRAIN_MERGES = (
+    """
+WITH w0 AS (
+  SELECT word, count(*)::BIGINT AS freq FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+s0 AS (
+  SELECT row_number() OVER (ORDER BY word) AS wid,
+         string_split(word, '') AS syms, freq
+  FROM w0
+),"""
+    + _bpe_oracle_iteration("s0", 1)
+    + ","
+    + _bpe_oracle_iteration("s1", 2)
+    + ","
+    + _bpe_oracle_iteration("s2", 3)
+    + """
+SELECT 1 AS it, l AS left_sym, r AS right_sym, n AS pair_count FROM b1
+UNION ALL SELECT 2, l, r, n FROM b2
+UNION ALL SELECT 3, l, r, n FROM b3
+ORDER BY it
+"""
+)
+
+
 def q_hll_hourly_rollup(spark, sf_dir):
     """Sketch RE-AGGREGABILITY — the continuous-aggregate pattern that
     makes sketches pay off at 100 TB: maintain registers at the HOUR
@@ -3534,6 +3637,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_sketch": q_hll_distinct_sketch,
     "domain_balanced_sample": q_domain_balanced_sample,
     "hll_hourly_rollup": q_hll_hourly_rollup,
+    "bpe_train_merges": q_bpe_train_merges,
 }
 
 ORACLES: dict[str, str] = {
@@ -3604,6 +3708,7 @@ ORACLES: dict[str, str] = {
     "hll_distinct_sketch": ORACLE_HLL_DISTINCT,
     "domain_balanced_sample": ORACLE_DOMAIN_BALANCED_SAMPLE,
     "hll_hourly_rollup": ORACLE_HLL_HOURLY_ROLLUP,
+    "bpe_train_merges": ORACLE_BPE_TRAIN_MERGES,
     "segment_dedup": ORACLE_SEGMENT_DEDUP,
     "url_domain_stats": ORACLE_URL_DOMAIN_STATS,
 }

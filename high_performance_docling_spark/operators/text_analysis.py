@@ -196,3 +196,84 @@ def repetition_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         F.coalesce(top_frac, F.lit(0.0)).alias("top_bigram_char_frac"),
         dup_frac.alias("dup_token_frac"),
     )
+
+
+def bpe_merge_pair(syms, left: str, right: str):
+    """Greedy left-to-right single-pass merge of one BPE pair inside a
+    symbol array, as a pure JVM-side F.aggregate fold (no Python in the
+    hot path): the accumulator carries (emitted_symbols, pending); a
+    (pending=left, current=right) hit emits the merged token and clears
+    the pending slot, so a freshly-merged token never re-merges within
+    the same iteration — exactly the classic BPE merge-step semantics
+    (Sennrich et al., ACL 2016). Overlapping matches (only possible for
+    left == right runs) resolve leftmost-first: 'aaa' + (a,a) -> [aa, a]."""
+    merged = F.lit(left + right)
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("out"), F.lit("").alias("prev")
+    )
+
+    def step(acc, s):
+        hit = (acc["prev"] == F.lit(left)) & (s == F.lit(right))
+        return F.when(
+            hit,
+            F.struct(
+                F.concat(acc["out"], F.array(merged)).alias("out"),
+                F.lit("").alias("prev"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(acc["prev"] == "", acc["out"])
+                .otherwise(F.concat(acc["out"], F.array(acc["prev"])))
+                .alias("out"),
+                s.alias("prev"),
+            )
+        )
+
+    def fin(acc):
+        return F.when(acc["prev"] == "", acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["prev"]))
+        )
+
+    return F.aggregate(syms, acc0, step, fin)
+
+
+def bpe_train(words: DataFrame, n_merges: int) -> list[tuple[int, str, str, int]]:
+    """Distributed BPE tokenizer training (Sennrich et al., ACL 2016)
+    over a word-frequency table ``(syms: array<string>, freq: bigint)``:
+    each round counts adjacent symbol pairs weighted by word frequency
+    (one hash agg with map-side combine — pair keys are Zipf-bounded by
+    the alphabet, never by corpus size), picks the argmax (count desc,
+    then lexicographic — fully deterministic), and folds the merge into
+    every word JVM-side via bpe_merge_pair. The ONLY driver-side data is
+    the 1-row argmax per round (k-row model state, like the k-means
+    centroids); the word table never leaves the cluster. Returns the
+    learned merge list [(iteration, left, right, pair_count)] — the
+    tokenizer model."""
+    recs: list[tuple[int, str, str, int]] = []
+    cur = words
+    for it in range(1, n_merges + 1):
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                # slice-based pair builder: valid for any length >= 1
+                # (sequence(0, size-2) would run DESCENDING for 1-symbol
+                # words and index out of bounds under ANSI mode)
+                F.expr(
+                    "transform(slice(syms, 1, size(syms)-1),"
+                    " (x, i) -> struct(x AS l, element_at(syms, i+2) AS r))"
+                ).alias("ps"),
+            )
+            .select("freq", F.explode("ps").alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("n"))
+        )
+        best = pairs.orderBy(F.col("n").desc(), "l", "r").first()
+        if best is None:
+            break
+        recs.append((it, best["l"], best["r"], int(best["n"])))
+        cur = cur.select(
+            bpe_merge_pair(F.col("syms"), best["l"], best["r"]).alias("syms"),
+            "freq",
+        )
+    return recs

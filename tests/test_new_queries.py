@@ -382,3 +382,56 @@ def test_domain_balanced_sample_caps_heavy_domains(spark):
     heavy = c["example.com"] + c["www.ck"] + c[""]  # 2 hosts each
     assert heavy < 0.45 * 64  # raw corpus share would be ~50%
     assert max(c.values()) <= 22  # ~3x the uniform expectation
+
+
+# ------------------------------------------------------------- bpe training
+
+def _py_bpe_reference(word_freqs, n_merges):
+    """Independent classic BPE trainer (Sennrich et al.): plain dicts,
+    sequential greedy merge."""
+    words = {tuple(w): f for w, f in word_freqs.items()}
+    out = []
+    for it in range(1, n_merges + 1):
+        counts = {}
+        for syms, f in words.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((it, l, r, n))
+        new = {}
+        for syms, f in words.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new[tuple(res)] = new.get(tuple(res), 0) + f
+        words = new
+    return out
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Overlap-heavy vocabulary: 'aaaa' forces the left==right greedy
+    case, 'abab' the repeated-pair case."""
+    from high_performance_docling_spark.operators import text_analysis as TA2
+
+    vocab = {"aaaa": 10, "abab": 6, "banana": 4, "aab": 3}
+    words = spark.createDataFrame(
+        [(list(w), f) for w, f in vocab.items()], ["syms", "freq"]
+    )
+    got = TA2.bpe_train(words, n_merges=4)
+    want = _py_bpe_reference({tuple(w): f for w, f in vocab.items()}, 4)
+    assert got == want
+
+
+def test_bpe_merge_pair_single_symbol_word(spark):
+    from high_performance_docling_spark.operators import text_analysis as TA2
+
+    words = spark.createDataFrame([(["x"], 1), (["a", "b"], 2)], ["syms", "freq"])
+    merges = TA2.bpe_train(words, n_merges=1)
+    assert merges == [(1, "a", "b", 2)]
