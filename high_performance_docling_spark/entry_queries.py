@@ -3231,6 +3231,116 @@ ORDER BY event_type
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental corpus update — dedup an INCOMING batch against the
+    EXISTING corpus without any existing↔existing work (the daily-crawl
+    pattern: the index is maintained, only the delta is screened).
+    Existing = doc_id % 10 != 0 (the indexed 90%), incoming = % 10 == 0
+    (today's batch). Exact: content-md5 equi-join incoming→existing.
+    Near: 16-bit SimHash, pigeonhole 4-band equi-join STRICTLY
+    incoming↔existing (cost ∝ batch size × band collision rate, never
+    corpus²), full-hamming verify ≤ 3 (includes hamming 0 — identical
+    text counts as near too; the two columns answer different
+    questions). keep = no exact and no near match.
+
+    Scale shape: two keyed equi-joins (content hash; band+bits) + two
+    per-incoming-doc aggs; the existing side shuffles once per screen,
+    the incoming side is the small delta — at 100 TB the existing
+    fingerprints would be a bucketed/sorted index table so only the
+    delta shuffles at all."""
+    docs = _t(spark, sf_dir, "documents")
+    is_inc = F.col("doc_id") % 10 == 0
+    ch = F.md5(F.lower(F.trim(F.col("text"))))
+    hashed = docs.select("doc_id", ch.alias("ch"))
+    inc_h = hashed.filter(is_inc)
+    ex_h = hashed.filter(~is_inc)
+    exact = (
+        inc_h.join(
+            ex_h.groupBy("ch").agg(F.count(F.lit(1)).alias("n_ex")),
+            "ch", "left",
+        )
+        .select("doc_id", F.coalesce("n_ex", F.lit(0)).alias("n_exact"))
+    )
+    fp = DD.simhash(docs, bits=16)
+    r, mask = 4, 15
+    band_cols = [
+        F.struct(
+            F.lit(s).alias("band"),
+            F.shiftright(F.col("simhash"), s * r)
+            .bitwiseAND(F.lit(mask))
+            .alias("bbits"),
+        )
+        for s in range(4)
+    ]
+    banded = fp.select(
+        "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bh")
+    ).select(
+        "doc_id", "simhash",
+        F.col("bh.band").alias("band"), F.col("bh.bbits").alias("bbits"),
+    )
+    bi = banded.filter(is_inc).alias("i")
+    be = banded.filter(~is_inc).alias("e")
+    ham = F.bit_count(F.col("i.simhash").bitwiseXOR(F.col("e.simhash")))
+    near = (
+        bi.join(
+            be,
+            (F.col("i.band") == F.col("e.band"))
+            & (F.col("i.bbits") == F.col("e.bbits")),
+        )
+        .filter(ham <= 3)
+        .select(
+            F.col("i.doc_id").alias("doc_id"),
+            F.col("e.doc_id").alias("ex_id"),
+        )
+        .distinct()  # a pair can collide in several bands
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.coalesce("n_near", F.lit(0)).cast("bigint").alias("n_near"),
+            ((F.col("n_exact") == 0) & (F.coalesce("n_near", F.lit(0)) == 0))
+            .cast("int")
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL = (
+    "WITH fp AS ("
+    + ORACLE_SIMHASH.replace("ORDER BY doc_id", "")
+    + """),
+hashed AS (
+  SELECT doc_id, md5(lower(trim(text))) AS ch FROM documents
+),
+exact AS (
+  SELECT i.doc_id, coalesce(e.n_ex, 0)::BIGINT AS n_exact
+  FROM (SELECT * FROM hashed WHERE doc_id % 10 = 0) i
+  LEFT JOIN (
+    SELECT ch, count(*) AS n_ex FROM hashed WHERE doc_id % 10 <> 0
+    GROUP BY ch
+  ) e USING (ch)
+),
+near AS (
+  SELECT i.doc_id, count(*)::BIGINT AS n_near
+  FROM fp i JOIN fp e
+    ON i.doc_id % 10 = 0 AND e.doc_id % 10 <> 0
+   AND bit_count(xor(i.simhash, e.simhash)) <= 3
+  GROUP BY i.doc_id
+)
+SELECT exact.doc_id, n_exact,
+       coalesce(near.n_near, 0)::BIGINT AS n_near,
+       (n_exact = 0 AND coalesce(near.n_near, 0) = 0)::INT AS keep
+FROM exact LEFT JOIN near USING (doc_id)
+ORDER BY exact.doc_id
+"""
+)
+
+
 def q_bpe_train_merges(spark, sf_dir):
     """Distributed BPE tokenizer TRAINING (Sennrich et al., ACL 2016) —
     3 merge rounds over the documents word-frequency table; output is
@@ -3638,6 +3748,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_balanced_sample": q_domain_balanced_sample,
     "hll_hourly_rollup": q_hll_hourly_rollup,
     "bpe_train_merges": q_bpe_train_merges,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 ORACLES: dict[str, str] = {
@@ -3709,6 +3820,7 @@ ORACLES: dict[str, str] = {
     "domain_balanced_sample": ORACLE_DOMAIN_BALANCED_SAMPLE,
     "hll_hourly_rollup": ORACLE_HLL_HOURLY_ROLLUP,
     "bpe_train_merges": ORACLE_BPE_TRAIN_MERGES,
+    "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "segment_dedup": ORACLE_SEGMENT_DEDUP,
     "url_domain_stats": ORACLE_URL_DOMAIN_STATS,
 }

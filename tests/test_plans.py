@@ -272,3 +272,11 @@ def test_hll_hourly_rollup_is_chained_hash_aggs(spark):
     assert "Window" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_dedup_incremental_is_banded_equi_join(spark):
+    # incoming vs existing only: content-hash + (band, bits) equi-joins;
+    # the O(batch x corpus) theta join must never appear
+    p = plan(spark, "dedup_incremental")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
