@@ -9,3 +9,7 @@ windowed aggregation over an event stream and an idempotent
 from .windows import stream_windowed_counts, run_stream_once  # noqa: F401
 from .sketches import stream_hll_registers  # noqa: F401
 from .reservoir import stream_weighted_reservoir, es_weighted_key  # noqa: F401
+from .incremental import (  # noqa: F401
+    build_content_index,
+    stream_screen_incoming,
+)
