@@ -3250,64 +3250,9 @@ def q_dedup_incremental(spark, sf_dir):
     delta shuffles at all."""
     docs = _t(spark, sf_dir, "documents")
     is_inc = F.col("doc_id") % 10 == 0
-    ch = F.md5(F.lower(F.trim(F.col("text"))))
-    hashed = docs.select("doc_id", ch.alias("ch"))
-    inc_h = hashed.filter(is_inc)
-    ex_h = hashed.filter(~is_inc)
-    exact = (
-        inc_h.join(
-            ex_h.groupBy("ch").agg(F.count(F.lit(1)).alias("n_ex")),
-            "ch", "left",
-        )
-        .select("doc_id", F.coalesce("n_ex", F.lit(0)).alias("n_exact"))
-    )
-    fp = DD.simhash(docs, bits=16)
-    r, mask = 4, 15
-    band_cols = [
-        F.struct(
-            F.lit(s).alias("band"),
-            F.shiftright(F.col("simhash"), s * r)
-            .bitwiseAND(F.lit(mask))
-            .alias("bbits"),
-        )
-        for s in range(4)
-    ]
-    banded = fp.select(
-        "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bh")
-    ).select(
-        "doc_id", "simhash",
-        F.col("bh.band").alias("band"), F.col("bh.bbits").alias("bbits"),
-    )
-    bi = banded.filter(is_inc).alias("i")
-    be = banded.filter(~is_inc).alias("e")
-    ham = F.bit_count(F.col("i.simhash").bitwiseXOR(F.col("e.simhash")))
-    near = (
-        bi.join(
-            be,
-            (F.col("i.band") == F.col("e.band"))
-            & (F.col("i.bbits") == F.col("e.bbits")),
-        )
-        .filter(ham <= 3)
-        .select(
-            F.col("i.doc_id").alias("doc_id"),
-            F.col("e.doc_id").alias("ex_id"),
-        )
-        .distinct()  # a pair can collide in several bands
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_near"))
-    )
-    return (
-        exact.join(near, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_exact").cast("bigint").alias("n_exact"),
-            F.coalesce("n_near", F.lit(0)).cast("bigint").alias("n_near"),
-            ((F.col("n_exact") == 0) & (F.coalesce("n_near", F.lit(0)) == 0))
-            .cast("int")
-            .alias("keep"),
-        )
-        .orderBy("doc_id")
-    )
+    return DD.screen_incoming(
+        docs.filter(~is_inc), docs.filter(is_inc)
+    ).orderBy("doc_id")
 
 
 ORACLE_DEDUP_INCREMENTAL = (

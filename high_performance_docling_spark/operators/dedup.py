@@ -497,3 +497,86 @@ def segment_dedup(
             F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
         )
     )
+
+
+def screen_incoming(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Incremental corpus-update screen: dedup an INCOMING batch against
+    the EXISTING corpus with no existing↔existing work — exact matches
+    via a content-md5 equi-join, near matches via a strictly
+    incoming↔existing pigeonhole-banded SimHash join (cost ∝ batch size
+    × band collision rate, never corpus²) with a full-hamming verify.
+
+    Returns one row per incoming doc: (doc_id, n_exact, n_near, keep)
+    where n_near counts existing docs within ``max_hamming`` (hamming 0
+    — identical text — counts as near too; the columns answer different
+    questions), and keep = no exact AND no near match. Append-stable:
+    both keys are deterministic content functions, so re-screening the
+    same batch yields identical verdicts. The registry query
+    `dedup_incremental` pins this against a DuckDB oracle."""
+    assert max_hamming < bands
+    ch = F.md5(F.lower(F.trim(F.col(text_col))))
+    inc_h = incoming.select(F.col(id_col).alias("doc_id"), ch.alias("ch"))
+    ex_counts = (
+        existing.select(ch.alias("ch"))
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("n_ex"))
+    )
+    exact = inc_h.join(ex_counts, "ch", "left").select(
+        "doc_id", F.coalesce("n_ex", F.lit(0)).alias("n_exact")
+    )
+
+    r = bits // bands
+    mask = (1 << r) - 1
+    band_cols = [
+        F.struct(
+            F.lit(s).alias("band"),
+            F.shiftright(F.col("simhash"), s * r)
+            .bitwiseAND(F.lit(mask))
+            .alias("bbits"),
+        )
+        for s in range(bands)
+    ]
+
+    def banded(df):
+        fp = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
+        return fp.select(
+            "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bh")
+        ).select(
+            "doc_id", "simhash",
+            F.col("bh.band").alias("band"), F.col("bh.bbits").alias("bbits"),
+        )
+
+    bi = banded(incoming).alias("i")
+    be = banded(existing).alias("e")
+    ham = F.bit_count(F.col("i.simhash").bitwiseXOR(F.col("e.simhash")))
+    near = (
+        bi.join(
+            be,
+            (F.col("i.band") == F.col("e.band"))
+            & (F.col("i.bbits") == F.col("e.bbits")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("i.doc_id").alias("doc_id"),
+            F.col("e.doc_id").alias("ex_id"),
+        )
+        .distinct()  # a pair can collide in several bands
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return exact.join(near, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.coalesce("n_near", F.lit(0)).cast("bigint").alias("n_near"),
+        ((F.col("n_exact") == 0) & (F.coalesce("n_near", F.lit(0)) == 0))
+        .cast("int")
+        .alias("keep"),
+    )
