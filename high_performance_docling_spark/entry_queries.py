@@ -3231,6 +3231,141 @@ ORDER BY event_type
 """
 
 
+def q_histogram_quantile_rollup(spark, sf_dir):
+    """Mergeable fixed-bin HISTOGRAM quantiles — the quantile analogue
+    of `hll_hourly_rollup` and the 100 TB stand-in for exact
+    percentile: maintain 64 bin counts (width 8, clamped to [0, 63])
+    at the HOUR grain, re-aggregate to any coarser grain by SUM (the
+    mergeable op), estimate p50/p90/p99 per event_type by linear
+    interpolation inside the target bin (t = q·n; estimate =
+    8·bin + 8·(t − cum_before)/bin_count). The oracle computes the
+    per-type bins DIRECTLY from raw events — no hourly intermediate —
+    so the hash match proves the sum-merge exact; the EXACT interpolated
+    percentile rides along per row so the histogram error is measured,
+    not assumed (bin width 8 bounds it).
+
+    Scale shape: two keyed hash aggs with map-side combine (hour-grain
+    counts ≤ 64 rows per (hour, type)), one ≤64-row-per-key window for
+    the cumulative fold, a 3-row quantile explode; re-answering a
+    quarter costs the re-agg only."""
+
+    def build():
+        ev = _t(spark, sf_dir, "events")
+        epoch = F.col("ts").cast("timestamp").cast("double")
+        b = F.greatest(
+            F.least(F.floor(F.col("value") / 8).cast("int"), F.lit(63)),
+            F.lit(0),
+        )
+        hourly = (
+            ev.select(
+                F.floor(epoch / 3600).cast("long").alias("hour"),
+                "event_type", b.alias("bin"),
+            )
+            .groupBy("hour", "event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        total = hourly.groupBy("event_type", "bin").agg(
+            F.sum("n").alias("n")
+        )
+        wcum = W.partitionBy("event_type").orderBy("bin")
+        cum = total.select(
+            "event_type", "bin", "n",
+            F.sum("n").over(wcum).alias("cum"),
+            F.sum("n").over(W.partitionBy("event_type")).alias("tot"),
+        )
+        qd = cum.select(
+            "*",
+            F.explode(
+                F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+            ).alias("q"),
+        ).withColumn("t", F.col("q") * F.col("tot"))
+        wpick = W.partitionBy("event_type", "q").orderBy("bin")
+        hit = (
+            qd.filter(F.col("cum") >= F.col("t"))
+            .withColumn("rn", F.row_number().over(wpick))
+            .filter(F.col("rn") == 1)
+        )
+        est = (
+            F.col("bin").cast("double") * 8
+            + 8 * (F.col("t") - (F.col("cum") - F.col("n"))) / F.col("n")
+        )
+        hist = hit.select(
+            "event_type", "q", F.round(est, 4).alias("hist_p")
+        )
+        exq = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
+        ex = _t(spark, sf_dir, "events").groupBy("event_type").agg(
+            F.round(exq[0], 4).alias("e50"),
+            F.round(exq[1], 4).alias("e90"),
+            F.round(exq[2], 4).alias("e99"),
+        )
+        exl = (
+            ex.select(
+                "event_type",
+                F.explode(
+                    F.array(
+                        F.struct(F.lit(0.5).alias("q"), F.col("e50").alias("exact_p")),
+                        F.struct(F.lit(0.9).alias("q"), F.col("e90").alias("exact_p")),
+                        F.struct(F.lit(0.99).alias("q"), F.col("e99").alias("exact_p")),
+                    )
+                ).alias("s"),
+            )
+            .select("event_type", F.col("s.q").alias("q"), F.col("s.exact_p").alias("exact_p"))
+        )
+        return (
+            hist.join(exl, ["event_type", "q"])
+            .orderBy("event_type", "q")
+        )
+
+    return _utc_plan(spark, build)
+
+
+ORACLE_HISTOGRAM_QUANTILE_ROLLUP = """
+WITH b AS (
+  SELECT event_type,
+         greatest(least(floor(value / 8)::INT, 63), 0) AS bin,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bin, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin)::BIGINT AS cum,
+         sum(n) OVER (PARTITION BY event_type)::BIGINT AS tot
+  FROM b
+),
+qd AS (
+  SELECT c.*, q, q * tot AS t
+  FROM c, (SELECT unnest([0.5, 0.9, 0.99]) AS q) qs
+),
+hit AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type, q ORDER BY bin)
+              AS rn
+    FROM qd WHERE cum >= t
+  ) WHERE rn = 1
+),
+hist AS (
+  SELECT event_type, q,
+         round(bin::DOUBLE * 8 + 8 * (t - (cum - n)) / n, 4) AS hist_p
+  FROM hit
+),
+ex AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.5), 4) AS e50,
+         round(quantile_cont(value, 0.9), 4) AS e90,
+         round(quantile_cont(value, 0.99), 4) AS e99
+  FROM events GROUP BY 1
+),
+exl AS (
+  SELECT event_type, 0.5 AS q, e50 AS exact_p FROM ex
+  UNION ALL SELECT event_type, 0.9, e90 FROM ex
+  UNION ALL SELECT event_type, 0.99, e99 FROM ex
+)
+SELECT h.event_type, h.q, h.hist_p, exl.exact_p
+FROM hist h JOIN exl USING (event_type, q)
+ORDER BY h.event_type, h.q
+"""
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental corpus update — dedup an INCOMING batch against the
     EXISTING corpus without any existing↔existing work (the daily-crawl
@@ -3694,6 +3829,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_hourly_rollup": q_hll_hourly_rollup,
     "bpe_train_merges": q_bpe_train_merges,
     "dedup_incremental": q_dedup_incremental,
+    "histogram_quantile_rollup": q_histogram_quantile_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -3766,6 +3902,7 @@ ORACLES: dict[str, str] = {
     "hll_hourly_rollup": ORACLE_HLL_HOURLY_ROLLUP,
     "bpe_train_merges": ORACLE_BPE_TRAIN_MERGES,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
+    "histogram_quantile_rollup": ORACLE_HISTOGRAM_QUANTILE_ROLLUP,
     "segment_dedup": ORACLE_SEGMENT_DEDUP,
     "url_domain_stats": ORACLE_URL_DOMAIN_STATS,
 }
