@@ -280,3 +280,13 @@ def test_dedup_incremental_is_banded_equi_join(spark):
     p = plan(spark, "dedup_incremental")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_histogram_rollup_windows_are_keyed(spark):
+    # cumulative fold runs over <=64-row event_type partitions — never a
+    # global (partition-less) window, never a single-partition exchange
+    # before the final tiny ordering
+    p = plan(spark, "histogram_quantile_rollup")
+    assert "Window" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
