@@ -3448,6 +3448,10 @@ def q_bpe_train_merges(spark, sf_dir):
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(F.split("word", "").alias("syms"), "freq")
+        # materialize once: the word-frequency table is vocab-sized
+        # (corpus-scan-free from here), so every training round reads
+        # it instead of re-scanning the corpus
+        .localCheckpoint(eager=True)
     )
     recs = TA2.bpe_train(words, n_merges=3)
     return spark.createDataFrame(

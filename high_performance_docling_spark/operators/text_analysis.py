@@ -272,8 +272,12 @@ def bpe_train(words: DataFrame, n_merges: int) -> list[tuple[int, str, str, int]
         if best is None:
             break
         recs.append((it, best["l"], best["r"], int(best["n"])))
+        # flatten lineage per round (the connected_components pattern):
+        # without this, round k's pair count re-evaluates every earlier
+        # merge fold — nested F.aggregate lambdas whose re-planning and
+        # codegen dominate wall time long before data size matters
         cur = cur.select(
             bpe_merge_pair(F.col("syms"), best["l"], best["r"]).alias("syms"),
             "freq",
-        )
+        ).localCheckpoint(eager=True)
     return recs
