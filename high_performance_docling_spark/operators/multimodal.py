@@ -271,7 +271,8 @@ def decode_media_batch(df: DataFrame, real_codecs: bool = False) -> DataFrame:
 
     ``real_codecs=False`` (the synthetic path) computes byte-level
     features over the opaque payload. ``real_codecs=True`` DECODES image
-    payloads as real PNGs (kernels/png_codec.py) and audio payloads as
+    payloads as real PNGs / baseline JPEGs / GIFs (kernels/{png,jpeg,
+    gif}_codec.py, sniffed by container magic) and audio payloads as
     real WAVs (kernels/wav_codec.py), computing the same features over
     the decoded pixel / raw-PCM byte array instead — n_bytes is the
     decoded byte count, byte_mean/byte_entropy are decoded-content
@@ -288,12 +289,17 @@ def decode_media_batch(df: DataFrame, real_codecs: bool = False) -> DataFrame:
                 n_frames = (meta or {}).get("n_frames") or 0
                 if real_codecs:
                     if mtype == "image":
-                        # container sniff: PNG or baseline JPEG (what
-                        # real figure crops / crawl images actually are)
+                        # container sniff: PNG, baseline JPEG or GIF
+                        # (what real figure crops / crawl images
+                        # actually are)
                         if data[:2] == b"\xff\xd8":
                             from ..kernels.jpeg_codec import decode_jpeg
 
                             data = decode_jpeg(data).tobytes()
+                        elif data[:6] in (b"GIF87a", b"GIF89a"):
+                            from ..kernels.gif_codec import decode_gif
+
+                            data = decode_gif(data)[0][0].tobytes()
                         else:
                             from ..kernels.png_codec import decode_png
 
