@@ -18,6 +18,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import Window as W
 
+from .operators.classifier import lr_iter_sql as _lr_iter_sql
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .util import read_table
@@ -3739,6 +3741,57 @@ FROM keyed ORDER BY k_raw DESC, doc_id LIMIT 64
 """
 
 
+def q_logistic_quality(spark, sf_dir):
+    """Trained quality classifier (the fasttext-filter shape): logistic
+    regression fit by 8 full-batch GD iterations over exact centered
+    text features, served as a literal-weight zero-shuffle projection.
+    Each fit iteration is ONE 4-double aggregation; model state = 4
+    floats. The oracle replays the entire fit in unrolled SQL (the
+    kmeans/BPE replay pattern), so the hash match certifies every
+    gradient step, not just the serving pass. Labels are the
+    deterministic looks-like-prose heuristic the model distills
+    (accuracy 0.83 vs 0.62 majority floor at sf0.01)."""
+    from .operators import classifier as C
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = C.lr_features(docs)
+    w = C.lr_fit(feats, n_iter=8)
+    return C.lr_score(feats, w).orderBy("doc_id")
+
+
+ORACLE_LOGISTIC_QUALITY = f"""
+WITH raw AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         1.0 AS x0,
+         (least(length(toks), 500) / 500.0 - 0.1) * 5.0 AS x1,
+         (length(list_filter(toks,
+                 x -> x IN ('the','and','of','to','a','in'))) / length(toks)
+          - 0.05) * 20.0 AS x2,
+         (length(text) / length(toks)) / 10.0 - 0.6 AS x3,
+         CASE WHEN length(list_filter(toks,
+                     x -> x IN ('the','and','of','to','a','in')))
+                   / length(toks) >= 0.05
+               AND length(toks) >= 50
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM raw
+),
+{_lr_iter_sql(8)}
+SELECT doc_id,
+       y::INT AS label,
+       CASE WHEN round(w.a0*x0 + w.a1*x1 + w.a2*x2 + w.a3*x3, 9) >= 0
+            THEN 1 ELSE 0 END AS pred,
+       round(1.0/(1.0 + exp(-round(w.a0*x0 + w.a1*x1 + w.a2*x2 + w.a3*x3,
+                                   9))), 6) + 0.0 AS score
+FROM f CROSS JOIN w8 w
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3834,6 +3887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train_merges": q_bpe_train_merges,
     "dedup_incremental": q_dedup_incremental,
     "histogram_quantile_rollup": q_histogram_quantile_rollup,
+    "logistic_quality": q_logistic_quality,
 }
 
 ORACLES: dict[str, str] = {
@@ -3909,5 +3963,6 @@ ORACLES: dict[str, str] = {
     "histogram_quantile_rollup": ORACLE_HISTOGRAM_QUANTILE_ROLLUP,
     "segment_dedup": ORACLE_SEGMENT_DEDUP,
     "url_domain_stats": ORACLE_URL_DOMAIN_STATS,
+    "logistic_quality": ORACLE_LOGISTIC_QUALITY,
 }
 

@@ -36,7 +36,7 @@ def test_all_oracles_parse_in_duckdb():
 # hidden in plan construction (VERDICT r2 #7).
 CONSTRUCTION_RUNS_JOBS = {"embedding_ivf_ann", "dedup_components", "bpe_train_merges",
                           "dedup_components_star", "dedup_representatives",
-                          "embedding_kmeans_clusters"}
+                          "embedding_kmeans_clusters", "logistic_quality"}
 
 
 def test_registry_construction_runs_no_jobs(spark):
