@@ -3792,6 +3792,84 @@ ORDER BY doc_id
 """
 
 
+BM25_TERMS = ["spark", "vector", "stream", "window", "merge"]
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 ranked keyword retrieval (Okapi, Lucene's +1-floor idf):
+    top-25 documents for a 5-term query. The corpus-side work is one
+    explode+groupBy whose shuffle carries ONLY tokens matching the
+    query terms (filter fused into the scan stage); df and the corpus
+    stats (N, avgdl) are broadcast scalars; the top-25 is an
+    orderBy().limit() TakeOrderedAndProject, with the rank assigned by
+    the sort_array/posexplode idiom over the 25-row result (no
+    partition-less WindowExec). Per-term contributions are rounded to
+    9 before the <= 5-addend per-doc sum so summation order cannot
+    move the 6-decimal score."""
+    from .operators import retrieval as RETR
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = RETR.bm25_scores(docs, BM25_TERMS)
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(25)
+    return (
+        top.groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("score")).alias("neg"),
+                        F.col("doc_id"),
+                        F.col("n_terms_matched"),
+                    )
+                )
+            ).alias("arr")
+        )
+        .select(F.posexplode("arr").alias("pos", "r"))
+        .select(
+            (F.col("pos") + 1).alias("rk"),
+            F.col("r.doc_id").alias("doc_id"),
+            F.col("r.n_terms_matched").alias("n_terms_matched"),
+            (-F.col("r.neg") + F.lit(0.0)).alias("score"),
+        )
+        .orderBy("rk")
+    )
+
+
+ORACLE_BM25_SEARCH = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+base AS (SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM d),
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM d),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl
+  FROM base
+  WHERE tok IN ('spark', 'vector', 'stream', 'window', 'merge')
+  GROUP BY doc_id, tok
+),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT doc_id,
+         round(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf * 2.2
+           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+         9) AS w
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
+)
+SELECT rk, doc_id, n_terms_matched, score FROM (
+  SELECT doc_id,
+         count(*) AS n_terms_matched,
+         round(sum(w), 6) + 0.0 AS score,
+         row_number() OVER (ORDER BY round(sum(w), 6) + 0.0 DESC,
+                            doc_id ASC) AS rk
+  FROM contrib GROUP BY doc_id
+) WHERE rk <= 25 ORDER BY rk
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3888,6 +3966,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "histogram_quantile_rollup": q_histogram_quantile_rollup,
     "logistic_quality": q_logistic_quality,
+    "bm25_search": q_bm25_search,
 }
 
 ORACLES: dict[str, str] = {
@@ -3964,5 +4043,6 @@ ORACLES: dict[str, str] = {
     "segment_dedup": ORACLE_SEGMENT_DEDUP,
     "url_domain_stats": ORACLE_URL_DOMAIN_STATS,
     "logistic_quality": ORACLE_LOGISTIC_QUALITY,
+    "bm25_search": ORACLE_BM25_SEARCH,
 }
 
