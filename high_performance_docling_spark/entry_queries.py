@@ -3870,6 +3870,67 @@ SELECT rk, doc_id, n_terms_matched, score FROM (
 """
 
 
+def q_link_pagerank(spark, sf_dir):
+    """PageRank over a deterministic hash-derived link graph (the
+    domain-authority signal of a crawl pipeline): each doc links to 3
+    md5-chosen targets, 3 power iterations, damping 0.85. Every
+    iteration is one edges⋈ranks join + one groupBy(dst) agg; the
+    oracle replays graph construction AND all 3 iterations in unrolled
+    SQL CTEs, so the hash match certifies the iterative math (the
+    kmeans/logistic replay pattern). Contributions and ranks round to
+    9 each iteration (in-degree ~Poisson(3) keeps per-node sums to a
+    handful of addends); the teleport constant is computed as
+    (1.0 - 0.85) on BOTH sides — the literal 0.15 is a different
+    double than the subtraction result."""
+    from .operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = G.hash_link_edges(docs, n_links=3)
+    pr = G.pagerank(docs, edges, n_iter=3, damping=0.85)
+    return pr.select(
+        "doc_id", (F.round(F.col("rank"), 6) + F.lit(0.0)).alias("rank")
+    ).orderBy("doc_id")
+
+
+def _pr_iter_sql(i: int) -> str:
+    """One unrolled PageRank iteration: contributions from r{i-1},
+    then the damped per-node sum into r{i}."""
+    return f"""
+c{i} AS (
+  SELECT e.dst AS node, round(r.rank / o.deg, 9) AS w
+  FROM edges e
+  JOIN r{i - 1} r ON e.src = r.node
+  JOIN outdeg o ON e.src = o.src
+),
+r{i} AS (
+  SELECT i.node,
+         round((1.0 - 0.85) / (SELECT n FROM n)
+               + 0.85 * coalesce(sum(c.w), 0.0), 9) AS rank
+  FROM ids i LEFT JOIN c{i} c ON c.node = i.node
+  GROUP BY i.node
+)"""
+
+
+ORACLE_LINK_PAGERANK = f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+ids AS (SELECT doc_id AS node FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src,
+           ('0x' || substr(md5('pr' || j || ':' || doc_id), 1, 14))::BIGINT
+             % (SELECT n FROM n) AS dst
+    FROM documents, (VALUES (1), (2), (3)) AS l(j)
+  ) WHERE src != dst
+),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (
+  SELECT node, round(1.0 / (SELECT n FROM n), 9) AS rank FROM ids
+),{_pr_iter_sql(1)},{_pr_iter_sql(2)},{_pr_iter_sql(3)}
+SELECT node AS doc_id, round(rank, 6) + 0.0 AS rank
+FROM r3 ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3967,6 +4028,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_quantile_rollup": q_histogram_quantile_rollup,
     "logistic_quality": q_logistic_quality,
     "bm25_search": q_bm25_search,
+    "link_pagerank": q_link_pagerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -4044,5 +4106,6 @@ ORACLES: dict[str, str] = {
     "url_domain_stats": ORACLE_URL_DOMAIN_STATS,
     "logistic_quality": ORACLE_LOGISTIC_QUALITY,
     "bm25_search": ORACLE_BM25_SEARCH,
+    "link_pagerank": ORACLE_LINK_PAGERANK,
 }
 
