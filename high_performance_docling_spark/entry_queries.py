@@ -3931,6 +3931,93 @@ FROM r3 ORDER BY doc_id
 """
 
 
+FUZZY_MENTIONS = [
+    "red widgit", "blu bolt", "smal ring", "hott gear",
+    "old anvill", "newplate", "larg rod", "cold gizmoo",
+    "zzz unknown",
+]
+
+
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Blocked fuzzy self-join: distinct part-name pairs within edit
+    distance 3, compared ONLY inside first-token blocks — the
+    record-linkage primitive that avoids the |catalog|^2 cross join.
+    levenshtein is a JVM builtin on both engines (no Python in the
+    hot path); the oracle replays the same block + threshold."""
+    from .operators import linkage as LK
+
+    part = _t(spark, sf_dir, "part")
+    return LK.blocked_name_pairs(part, name_col="p_name", max_dist=3).orderBy(
+        "name_a", "name_b"
+    )
+
+
+ORACLE_FUZZY_NAME_PAIRS = r"""
+WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+b AS (
+  SELECT name,
+         list_extract(regexp_split_to_array(name, '\s+'), 1) AS blk
+  FROM names
+)
+SELECT x.name AS name_a, y.name AS name_b,
+       levenshtein(x.name, y.name) AS dist
+FROM b x JOIN b y ON x.blk = y.blk AND x.name < y.name
+WHERE levenshtein(x.name, y.name) <= 3
+ORDER BY name_a, name_b
+"""
+
+
+def q_fuzzy_match_parts(spark, sf_dir):
+    """Dirty-mention entity resolution: 9 misspelled part mentions
+    resolved against the distinct catalog via two blocking passes
+    (3-char prefix of the first and last token — a typo must corrupt
+    both token heads to escape), best match = min(dist, name) struct
+    argmin, kept iff dist <= 3. The unmatched sentinel mention proves
+    the threshold actually drops rows. Mentions are a literal list on
+    both sides (the LSH literal-weight oracle pattern)."""
+    from .operators import linkage as LK
+
+    part = _t(spark, sf_dir, "part")
+    mentions = spark.createDataFrame(
+        [(m,) for m in FUZZY_MENTIONS], ["mention"]
+    )
+    return LK.resolve_mentions(mentions, part, max_dist=3).orderBy("mention")
+
+
+_MENTION_VALUES = ", ".join(f"('{m}')" for m in FUZZY_MENTIONS)
+
+ORACLE_FUZZY_MATCH_PARTS = rf"""
+WITH mentions(mention) AS (VALUES {_MENTION_VALUES}),
+cat AS (SELECT DISTINCT lower(p_name) AS name FROM part),
+mk AS (
+  SELECT mention, unnest([
+    'h:' || substr(list_extract(regexp_split_to_array(mention, '\s+'), 1), 1, 3),
+    't:' || substr(list_extract(regexp_split_to_array(mention, '\s+'), -1), 1, 3)
+  ]) AS blk
+  FROM (SELECT lower(mention) AS mention FROM mentions)
+),
+ck AS (
+  SELECT name, unnest([
+    'h:' || substr(list_extract(regexp_split_to_array(name, '\s+'), 1), 1, 3),
+    't:' || substr(list_extract(regexp_split_to_array(name, '\s+'), -1), 1, 3)
+  ]) AS blk
+  FROM cat
+),
+cand AS (SELECT DISTINCT mention, name FROM mk JOIN ck USING (blk)),
+scored AS (
+  SELECT mention, name, levenshtein(mention, name) AS dist
+  FROM cand
+  WHERE levenshtein(mention, name) <= 3
+)
+SELECT mention, matched_name, dist FROM (
+  SELECT mention, name AS matched_name, dist,
+         row_number() OVER (PARTITION BY mention
+                            ORDER BY dist, name) AS rk
+  FROM scored
+) WHERE rk = 1 ORDER BY mention
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4029,6 +4116,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logistic_quality": q_logistic_quality,
     "bm25_search": q_bm25_search,
     "link_pagerank": q_link_pagerank,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "fuzzy_match_parts": q_fuzzy_match_parts,
 }
 
 ORACLES: dict[str, str] = {
@@ -4107,5 +4196,7 @@ ORACLES: dict[str, str] = {
     "logistic_quality": ORACLE_LOGISTIC_QUALITY,
     "bm25_search": ORACLE_BM25_SEARCH,
     "link_pagerank": ORACLE_LINK_PAGERANK,
+    "fuzzy_name_pairs": ORACLE_FUZZY_NAME_PAIRS,
+    "fuzzy_match_parts": ORACLE_FUZZY_MATCH_PARTS,
 }
 
