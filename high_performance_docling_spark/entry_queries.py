@@ -4018,6 +4018,81 @@ SELECT mention, matched_name, dist FROM (
 """
 
 
+def q_scd2_user_status(spark, sf_dir):
+    """SCD-type-2 dimension build (the warehouse temporal-modeling
+    pattern): collapse each user's event_type stream into
+    change-intervals via gaps-and-islands (lag change flag → running
+    sum → island group-by), then valid_to = next island's valid_from
+    (NULL = current). One window pass + one agg + one lead — all
+    partitioned by user_id, so the shuffle is a single user-keyed
+    exchange reused by every step. Epochs ride as doubles under the
+    UTC-pinned plan (the sessionize convention), rounded to 3 only in
+    the output."""
+    def build():
+        ev = _t(spark, sf_dir, "events")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        epoch = F.col("ts").cast("timestamp").cast("double")
+        prev = F.lag("event_type").over(w)
+        chg = F.when(
+            prev.isNull() | (F.col("event_type") != prev), 1
+        ).otherwise(0)
+        islands = (
+            ev.select("user_id", "event_id", "event_type", "ts",
+                      epoch.alias("e"))
+            .withColumn("seq", F.sum(chg).over(w).cast("long"))
+            .groupBy("user_id", "seq")
+            .agg(
+                F.min("event_type").alias("status"),
+                F.round(F.min("e"), 3).alias("valid_from"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        )
+        wu = W.partitionBy("user_id").orderBy("seq")
+        # current rows get the SCD2 end-of-time sentinel instead of
+        # NULL: a NULL double round-trips as NaN through the oracle's
+        # pandas fetch and would hash-mismatch Spark's None
+        nxt = F.lead("valid_from").over(wu)
+        return islands.select(
+            "user_id", "seq", "status", "valid_from",
+            F.coalesce(nxt, F.lit(9999999999.0)).alias("valid_to"),
+            (nxt.isNull()).cast("int").alias("is_current"),
+            "n_events",
+        ).orderBy("user_id", "seq")
+
+    return _utc_plan(spark, build)
+
+
+ORACLE_SCD2_USER_STATUS = """
+WITH g AS (
+  SELECT user_id, event_id, event_type, ts, round(epoch(ts), 3) AS e,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR event_type != lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+i AS (
+  SELECT user_id, event_type, e,
+         (sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING))::BIGINT AS seq
+  FROM g
+),
+isl AS (
+  SELECT user_id, seq, min(event_type) AS status,
+         round(min(e), 3) AS valid_from, count(*) AS n_events
+  FROM i GROUP BY user_id, seq
+)
+SELECT user_id, seq, status, valid_from,
+       coalesce(lead(valid_from) OVER w2, 9999999999.0) AS valid_to,
+       CASE WHEN lead(valid_from) OVER w2 IS NULL THEN 1 ELSE 0 END
+         AS is_current,
+       n_events
+FROM isl
+WINDOW w2 AS (PARTITION BY user_id ORDER BY seq)
+ORDER BY user_id, seq
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4118,6 +4193,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_pagerank": q_link_pagerank,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "fuzzy_match_parts": q_fuzzy_match_parts,
+    "scd2_user_status": q_scd2_user_status,
 }
 
 ORACLES: dict[str, str] = {
@@ -4198,5 +4274,6 @@ ORACLES: dict[str, str] = {
     "link_pagerank": ORACLE_LINK_PAGERANK,
     "fuzzy_name_pairs": ORACLE_FUZZY_NAME_PAIRS,
     "fuzzy_match_parts": ORACLE_FUZZY_MATCH_PARTS,
+    "scd2_user_status": ORACLE_SCD2_USER_STATUS,
 }
 
