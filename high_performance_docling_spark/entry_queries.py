@@ -4093,6 +4093,32 @@ ORDER BY user_id, seq
 """
 
 
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_profile_documents(spark, sf_dir):
+    """One-scan data-quality profile of the documents table: null /
+    distinct / min / max per column out of a SINGLE aggregation (the
+    pre-training sanity report). min/max are computed in native type
+    and cast to string for the report; the oracle recomputes each
+    column's row via UNION ALL (DuckDB plans 5 scans where Spark plans
+    1 + Expand — same values, different engines' tradeoff)."""
+    from .operators import profiling as PF
+
+    docs = _t(spark, sf_dir, "documents")
+    return PF.profile_columns(docs, _PROFILE_COLS).orderBy("col_name")
+
+
+ORACLE_PROFILE_DOCUMENTS = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+  (sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END))::BIGINT AS n_nulls,
+  count(DISTINCT {c}) AS n_distinct,
+  min({c})::VARCHAR AS min_val, max({c})::VARCHAR AS max_val
+FROM documents"""
+    for c in _PROFILE_COLS
+) + "\nORDER BY col_name"
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4194,6 +4220,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "fuzzy_match_parts": q_fuzzy_match_parts,
     "scd2_user_status": q_scd2_user_status,
+    "profile_documents": q_profile_documents,
 }
 
 ORACLES: dict[str, str] = {
@@ -4275,5 +4302,6 @@ ORACLES: dict[str, str] = {
     "fuzzy_name_pairs": ORACLE_FUZZY_NAME_PAIRS,
     "fuzzy_match_parts": ORACLE_FUZZY_MATCH_PARTS,
     "scd2_user_status": ORACLE_SCD2_USER_STATUS,
+    "profile_documents": ORACLE_PROFILE_DOCUMENTS,
 }
 
