@@ -4119,6 +4119,165 @@ FROM documents"""
 ) + "\nORDER BY col_name"
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts (the user-analytics staple): cohort =
+    ISO week of each user's first event, activity = distinct
+    (user, week), retention = active users at week-offset k over the
+    cohort's size. Two user-keyed aggregations + one broadcast-size
+    join of week-grain rollups — the events table is scanned twice but
+    never re-shuffled wider than the user key. Offsets use day-diff
+    integer division of week-truncated dates (both engines truncate
+    weeks to Monday)."""
+    def build():
+        ev = _t(spark, sf_dir, "events")
+        ts = F.col("ts").cast("timestamp")
+        firsts = (
+            ev.groupBy("user_id")
+            .agg(F.min(ts).alias("first_ts"))
+            .select(
+                "user_id",
+                F.to_date(F.date_trunc("week", "first_ts")).alias("c"),
+            )
+        )
+        active = ev.select(
+            "user_id", F.to_date(F.date_trunc("week", ts)).alias("w")
+        ).distinct()
+        counts = (
+            active.join(firsts, "user_id")
+            .select(
+                "user_id", "c",
+                F.floor(F.datediff("w", "c") / 7).cast("long").alias("k"),
+            )
+            .groupBy("c", "k")
+            .agg(F.count_distinct("user_id").alias("n_active"))
+        )
+        sizes = firsts.groupBy("c").agg(
+            F.count_distinct("user_id").alias("cohort_size")
+        )
+        return (
+            counts.join(F.broadcast(sizes), "c")
+            .select(
+                F.date_format("c", "yyyy-MM-dd").alias("cohort_week"),
+                F.col("k").alias("week_offset"),
+                "n_active",
+                "cohort_size",
+                (
+                    F.round(F.col("n_active") / F.col("cohort_size"), 6)
+                    + F.lit(0.0)
+                ).alias("retention"),
+            )
+            .orderBy("cohort_week", "week_offset")
+        )
+
+    return _utc_plan(spark, build)
+
+
+ORACLE_RETENTION_COHORTS = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts))::DATE AS c
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS w FROM events
+),
+counts AS (
+  SELECT c, (datediff('day', c, w) // 7)::BIGINT AS k,
+         count(DISTINCT user_id) AS n_active
+  FROM active JOIN firsts USING (user_id)
+  GROUP BY c, k
+),
+sizes AS (SELECT c, count(DISTINCT user_id) AS cohort_size FROM firsts GROUP BY c)
+SELECT strftime(c, '%Y-%m-%d') AS cohort_week,
+       k AS week_offset, n_active, cohort_size,
+       round(n_active * 1.0 / cohort_size, 6) + 0.0 AS retention
+FROM counts JOIN sizes USING (c)
+ORDER BY cohort_week, week_offset
+"""
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): customer⋈orders⋈lineitem
+    with segment/date filters, revenue = sum(extprice*(1-disc)) per
+    order, top-10. The customer side is a broadcast (dimension-sized);
+    orders⋈lineitem shuffles on the order key; the top-10 is
+    orderBy().limit() (TakeOrderedAndProject), rank via the
+    sort_array/posexplode idiom. Both predicates reach the parquet
+    scans (PushedFilters)."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        F.round(
+                            F.col("l_extendedprice")
+                            * (F.lit(1.0) - F.col("l_discount")),
+                            6,
+                        )
+                    ),
+                    2,
+                )
+                + F.lit(0.0)
+            ).alias("revenue")
+        )
+    )
+    top = rev.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+    return (
+        top.groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("revenue")).alias("neg"),
+                        F.col("l_orderkey"),
+                        F.col("o_orderpriority"),
+                    )
+                )
+            ).alias("arr")
+        )
+        .select(F.posexplode("arr").alias("pos", "r"))
+        .select(
+            (F.col("pos") + 1).alias("rk"),
+            F.col("r.l_orderkey").alias("l_orderkey"),
+            F.col("r.o_orderpriority").alias("o_orderpriority"),
+            (-F.col("r.neg") + F.lit(0.0)).alias("revenue"),
+        )
+        .orderBy("rk")
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+WITH rev AS (
+  SELECT l_orderkey, o_orderpriority,
+         round(sum(round(l_extendedprice * (1.0 - l_discount), 6)), 2)
+           + 0.0 AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+    AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+  GROUP BY l_orderkey, o_orderpriority
+)
+SELECT rk, l_orderkey, o_orderpriority, revenue FROM (
+  SELECT l_orderkey, o_orderpriority, revenue,
+         row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rk
+  FROM rev
+) WHERE rk <= 10 ORDER BY rk
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4221,6 +4380,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_match_parts": q_fuzzy_match_parts,
     "scd2_user_status": q_scd2_user_status,
     "profile_documents": q_profile_documents,
+    "retention_cohorts": q_retention_cohorts,
+    "shipping_priority": q_shipping_priority,
 }
 
 ORACLES: dict[str, str] = {
@@ -4303,5 +4464,7 @@ ORACLES: dict[str, str] = {
     "fuzzy_match_parts": ORACLE_FUZZY_MATCH_PARTS,
     "scd2_user_status": ORACLE_SCD2_USER_STATUS,
     "profile_documents": ORACLE_PROFILE_DOCUMENTS,
+    "retention_cohorts": ORACLE_RETENTION_COHORTS,
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
 }
 

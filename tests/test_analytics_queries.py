@@ -1,0 +1,46 @@
+"""Analytics-query invariants: retention-cohort semantics and the
+shipping-priority (TPC-H Q3 shape) plan — broadcast dimension join +
+predicates pushed into the parquet scans. Value-exactness vs DuckDB
+is scripts/verify_queries.py's job."""
+
+from __future__ import annotations
+
+from high_performance_docling_spark.entry_queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_retention_cohort_invariants(spark):
+    rows = QUERIES["retention_cohorts"](spark, SF).collect()
+    assert rows
+    by_cohort: dict[str, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["week_offset"])
+        # week-0 retention is exactly 1.0 by construction: every user
+        # is active in the week of their first event
+        assert rs[0]["week_offset"] == 0
+        assert rs[0]["retention"] == 1.0
+        assert rs[0]["n_active"] == rs[0]["cohort_size"]
+        for r in rs:
+            assert 0 < r["n_active"] <= r["cohort_size"]
+            assert 0.0 < r["retention"] <= 1.0
+        # one cohort size per cohort
+        assert len({r["cohort_size"] for r in rs}) == 1
+
+
+def test_shipping_priority_plan_shape(spark):
+    df = QUERIES["shipping_priority"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the customer dimension joins as a broadcast
+    assert "BroadcastHashJoin" in plan
+    # segment + date predicates reach the parquet scans
+    assert "PushedFilters: [" in plan
+    assert "c_mktsegment" in plan.split("PushedFilters")[1][:2000] or (
+        "EqualTo(c_mktsegment,BUILDING)" in plan
+    )
+    rows = df.collect()
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
