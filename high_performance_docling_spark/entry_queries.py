@@ -4278,6 +4278,50 @@ SELECT rk, l_orderkey, o_orderpriority, revenue FROM (
 """
 
 
+def q_anomaly_mad(spark, sf_dir):
+    """Robust per-type outlier detection over event values: median +
+    MAD (both exact interpolated percentiles, rounded to 6 on both
+    engines before any downstream math), Iglewicz-Hoaglin score
+    0.6745*(x-med)/MAD, flag |score| > 3.5. Two group aggregations +
+    two broadcast joins back — the fact table shuffles only on its
+    group key."""
+    from .operators import anomaly as AN
+
+    ev = _t(spark, sf_dir, "events")
+    out = AN.mad_outliers(ev, group_col="event_type", value_col="value")
+    return out.select(
+        "event_id", "event_type",
+        (F.round("value", 6) + F.lit(0.0)).alias("value"),
+        "med", "mad", "score",
+    ).orderBy("event_id")
+
+
+ORACLE_ANOMALY_MAD = """
+WITH med AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.5), 6) + 0.0 AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(round(e.value - m.med, 6)) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         round(quantile_cont(adev, 0.5), 6) + 0.0 AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT event_id, d.event_type,
+       round(value, 6) + 0.0 AS value, d.med, m.mad,
+       round(0.6745 * round(value - d.med, 6) / m.mad, 6) + 0.0 AS score
+FROM dev d JOIN mad m USING (event_type)
+WHERE m.mad > 0.0
+  AND abs(round(0.6745 * round(value - d.med, 6) / m.mad, 6) + 0.0) > 3.5
+ORDER BY event_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4382,6 +4426,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_documents": q_profile_documents,
     "retention_cohorts": q_retention_cohorts,
     "shipping_priority": q_shipping_priority,
+    "anomaly_mad": q_anomaly_mad,
 }
 
 ORACLES: dict[str, str] = {
@@ -4466,5 +4511,6 @@ ORACLES: dict[str, str] = {
     "profile_documents": ORACLE_PROFILE_DOCUMENTS,
     "retention_cohorts": ORACLE_RETENTION_COHORTS,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "anomaly_mad": ORACLE_ANOMALY_MAD,
 }
 
