@@ -498,3 +498,224 @@ def quantize_embeddings(
     return emb.select(
         F.col(id_col).alias("vec_id"), scale.alias("scale"), q.alias("qvec")
     )
+
+
+# --------------------------------------------------------------------------
+# product quantization: compressed-domain ANN (the IVF/LSH complement)
+# --------------------------------------------------------------------------
+
+def pq_model(
+    emb: DataFrame,
+    *,
+    m_subs: int = 4,
+    n_codes: int = 8,
+    code_seed_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Seed-init PQ codebooks: the subvectors of n_codes deterministic
+    corpus rows (kmeans-init without the iterations — the model-state
+    pattern of IVF's _collect_centroids; swap in trained centroids
+    without touching encode/search). Returns cb[m][j] = subvector."""
+    dim = _require_dim(dim)
+    sub = dim // m_subs
+    seeds = code_seed_ids or list(range(100, 100 + n_codes))
+    cents = _collect_centroids(emb, seeds, id_col, vec_col)
+    assert len(cents) == n_codes, "code seed ids missing from corpus"
+    return [
+        [[float(x) for x in cv[mi * sub:(mi + 1) * sub]] for _, cv in cents]
+        for mi in range(m_subs)
+    ]
+
+
+def _sub_l2(v_sub, c_sub_lit: list[float], round_to: int) -> F.Column:
+    """round(||a-b||_2, round_to) with the sequential left-fold the
+    other engines (DuckDB list_distance, Python loop) also use."""
+    c = F.array(*[F.lit(x) for x in c_sub_lit])
+    sq = F.aggregate(
+        F.zip_with(v_sub, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return F.round(F.sqrt(sq), round_to)
+
+
+def pq_encode(
+    base: DataFrame, cb: list[list[list[float]]], *, round_to: int = 5
+) -> DataFrame:
+    """Attach code_<m> columns: per subspace, argmin rounded L2 to the
+    literal codebook (ties -> lowest code). A PURE PROJECTION — a
+    100 TB corpus encodes in one scan with zero shuffle."""
+    m_subs, n_codes = len(cb), len(cb[0])
+    sub = len(cb[0][0])
+    out = base
+    for mi in range(m_subs):
+        v_sub = F.slice("v", mi * sub + 1, sub)
+        cands = [
+            F.struct(
+                _sub_l2(v_sub, cb[mi][j], round_to).alias("d"),
+                F.lit(j).alias("code"),
+            )
+            for j in range(n_codes)
+        ]
+        out = out.withColumn(f"code_{mi}", F.least(*cands).getField("code"))
+    return out
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    *,
+    m_subs: int = 4,
+    n_codes: int = 8,
+    code_seed_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    round_to: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance PQ search: encode the corpus (projection),
+    precompute each query's (subspace x code) lookup table driver-side
+    (IEEE-identical to the engines: same sequential fold + sqrt +
+    round), and score every row as the FIXED-ORDER sum of its codes'
+    LUT entries — so the per-row cost is m_subs array lookups, never a
+    distance against the full vector. Returns
+    (query_id, rk, nbr_id, adc); adc = round(sum_m lut, 6).
+    Scale shape: one corpus scan -> encode projection -> explode x
+    |queries| -> per-query top-k window. No join, no shuffle before
+    the top-k."""
+    import math
+
+    dim = _require_dim(dim)
+    sub = dim // m_subs
+    cb = pq_model(
+        emb, m_subs=m_subs, n_codes=n_codes, code_seed_ids=code_seed_ids,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    base = _base(emb, id_col, vec_col)
+    coded = pq_encode(base, cb, round_to=round_to)
+
+    queries = _collect_centroids(emb, query_ids, id_col, vec_col)
+    lut = {
+        qid: [
+            [
+                round(
+                    math.sqrt(
+                        sum(
+                            (qv[mi * sub + d] - cb[mi][j][d]) ** 2
+                            for d in range(sub)
+                        )
+                    ),
+                    round_to,
+                )
+                for j in range(n_codes)
+            ]
+            for mi in range(m_subs)
+        ]
+        for qid, qv in queries
+    }
+
+    per_query = []
+    for qid in sorted(lut):
+        terms = [
+            F.element_at(
+                F.array(*[F.lit(x) for x in lut[qid][mi]]),
+                F.col(f"code_{mi}") + 1,
+            )
+            for mi in range(m_subs)
+        ]
+        adc = F.round(sum(terms[1:], terms[0]), 6) + F.lit(0.0)
+        per_query.append(
+            F.struct(F.lit(qid).alias("query_id"), adc.alias("adc"))
+        )
+    scored = (
+        coded.select(
+            F.col("vec_id").alias("nbr_id"),
+            "v",
+            F.explode(F.array(*per_query)).alias("qa"),
+        )
+        .select("nbr_id", "v", "qa.query_id", "qa.adc")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "nbr_id", "adc")
+    )
+
+
+def pq_topk_rerank(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    *,
+    shortlist: int = 64,
+    m_subs: int = 4,
+    n_codes: int = 8,
+    code_seed_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    round_to: int = 5,
+) -> DataFrame:
+    """PQ shortlist + exact rerank (the IVFPQ serving pattern): ADC
+    ranks the whole corpus from codes alone, the top-`shortlist` rows
+    per query get an EXACT L2 distance against the literal query
+    vector, and the final top-k is by exact distance. The coarse PQ
+    cell resolves which vectors are close (on a clustered corpus the
+    whole shortlist is same-cluster); the rerank recovers the true
+    neighbor order that code-level ties hide. Exact distances are
+    computed for |queries| x shortlist rows only — the corpus is
+    scanned once, by the encode projection."""
+    inner = pq_topk(
+        emb, query_ids, k=shortlist, m_subs=m_subs, n_codes=n_codes,
+        code_seed_ids=code_seed_ids, id_col=id_col, vec_col=vec_col,
+        dim=dim, round_to=round_to,
+    )
+    # re-attach vectors for the shortlist only (broadcast-sized side)
+    base = _base(emb, id_col, vec_col).select(
+        F.col("vec_id").alias("nbr_id"), "v"
+    )
+    qvecs = dict(_collect_centroids(emb, query_ids, id_col, vec_col))
+    dist_by_q = [
+        F.struct(
+            F.lit(qid).alias("query_id"),
+            _full_l2(F.col("v"), qv, round_to).alias("dist"),
+        )
+        for qid, qv in sorted(qvecs.items())
+    ]
+    # one literal-projection distance column per query; pick the one
+    # matching this row's query_id (filter over a literal struct array)
+    dist = F.element_at(
+        F.filter(
+            F.array(*dist_by_q),
+            lambda s: s.getField("query_id") == F.col("query_id"),
+        ),
+        1,
+    ).getField("dist")
+    reranked = base.join(F.broadcast(inner), "nbr_id").withColumn(
+        "dist", dist
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("nbr_id"))
+    return (
+        reranked.withColumn("rk2", F.row_number().over(w))
+        .filter(F.col("rk2") <= k)
+        .select(
+            "query_id", F.col("rk2").alias("rk"), "nbr_id", "adc", "dist"
+        )
+    )
+
+
+def _full_l2(v, q_lit: list[float], round_to: int) -> F.Column:
+    """round(||v - q||_2, round_to) against a literal vector, same
+    sequential fold as _sub_l2 / DuckDB list_distance."""
+    q = F.array(*[F.lit(x) for x in q_lit])
+    sq = F.aggregate(
+        F.zip_with(v, q, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return F.round(F.sqrt(sq), round_to)
