@@ -4435,6 +4435,181 @@ def q_embedding_pq_rerank(spark, sf_dir):
     ).orderBy("query_id", "rk")
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP revenue cube: (nation, year) leaves -> per-nation
+    subtotals -> grand total, via Spark's rollup() over PRE-ROUNDED
+    leaf aggregates — the subtotals re-aggregate ~175 rounded leaf
+    values instead of re-summing 10^5 raw doubles, so the result is
+    summation-order-proof at every level (the HLL/histogram
+    partial-rollup discipline applied to money). Rollup NULLs are
+    labeled 'ALL'/-1 (the join keys are never null)."""
+    def build():
+        li = _t(spark, sf_dir, "lineitem")
+        orders = _t(spark, sf_dir, "orders")
+        cust = _t(spark, sf_dir, "customer")
+        nation = _t(spark, sf_dir, "nation")
+        leaf = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(
+                F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+            )
+            .groupBy(
+                "n_name",
+                F.year(F.col("o_orderdate").cast("timestamp")).alias("yr"),
+            )
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2,
+                ).alias("rev"),
+                F.count(F.lit(1)).alias("items"),
+            )
+        )
+        return (
+            leaf.rollup("n_name", "yr")
+            .agg(
+                (F.round(F.sum("rev"), 2) + F.lit(0.0)).alias("revenue"),
+                F.sum("items").alias("n_items"),
+            )
+            .select(
+                F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                F.coalesce("yr", F.lit(-1)).cast("int").alias("yr"),
+                "revenue",
+                "n_items",
+            )
+            .orderBy("nation", "yr")
+        )
+
+    return _utc_plan(spark, build)
+
+
+ORACLE_ROLLUP_REVENUE = """
+WITH leaf AS (
+  SELECT n_name, year(o_orderdate) AS yr,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+         count(*) AS items
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name, yr
+)
+SELECT coalesce(n_name, 'ALL') AS nation,
+       coalesce(yr, -1)::INT AS yr,
+       round(sum(rev), 2) + 0.0 AS revenue,
+       sum(items)::BIGINT AS n_items
+FROM leaf
+GROUP BY ROLLUP (n_name, yr)
+ORDER BY nation, yr
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_event_hours(spark, sf_dir):
+    """Hour-of-day x event-type count pivot (the ops dashboard query):
+    Spark's groupBy().pivot() with an EXPLICIT column list — without
+    it Spark runs a distinct-scan job just to learn the columns and
+    the output schema becomes data-dependent. One shuffle on the
+    24-row hour key; the oracle spells the pivot as CASE sums."""
+    def build():
+        ev = _t(spark, sf_dir, "events")
+        return (
+            ev.groupBy(
+                F.hour(F.col("ts").cast("timestamp")).alias("hour")
+            )
+            .pivot("event_type", _EVENT_TYPES)
+            .count()
+            .na.fill(0, _EVENT_TYPES)
+            .orderBy("hour")
+        )
+
+    return _utc_plan(spark, build)
+
+
+ORACLE_PIVOT_EVENT_HOURS = f"""
+SELECT hour(ts) AS hour,
+       {", ".join(
+           f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT"
+           f" AS {t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY hour ORDER BY hour
+"""
+
+
+def q_quality_tiers(spark, sf_dir):
+    """Decile tiering of the corpus by quality (the 'tier extraction'
+    cut a pretraining pipeline makes before sampling): 9 exact decile
+    cuts of mean-token-length from ONE percentile aggregation
+    (broadcast back as a 9-float array), tier assignment as a pure
+    projection (score > cut count) — NO global-sort ntile window, so
+    a 100 TB corpus tiers in one scan + one tiny agg. Cuts and scores
+    round to 4/6 identically on both engines; ties at a cut go to the
+    lower tier on both."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    scored = docs.select(
+        "doc_id",
+        F.round((F.length("text") + 0.0) / F.size(toks), 4).alias("score"),
+    )
+    pcts = ", ".join(str(i / 10.0) for i in range(1, 10))
+    cuts = scored.agg(
+        F.expr(
+            f"transform(percentile(score, array({pcts})), c -> round(c, 6))"
+        ).alias("cuts")
+    )
+    tiered = scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "score",
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("cuts"),
+                F.lit(0),
+                lambda acc, c: acc
+                + F.when(F.col("score") > c, 1).otherwise(0),
+            )
+        ).alias("tier"),
+    )
+    return (
+        tiered.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.round(F.min("score"), 4) + F.lit(0.0)).alias("min_score"),
+            (F.round(F.max("score"), 4) + F.lit(0.0)).alias("max_score"),
+        )
+        .orderBy("tier")
+    )
+
+
+ORACLE_QUALITY_TIERS = """
+WITH scored AS (
+  SELECT doc_id,
+         round(length(text) /
+               length(regexp_split_to_array(trim(text), '\\s+')), 4)
+           AS score
+  FROM documents
+),
+cuts AS (
+  SELECT list_transform(
+           quantile_cont(score, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9]),
+           c -> round(c, 6)) AS cuts
+  FROM scored
+),
+tiered AS (
+  SELECT doc_id, score,
+         1 + len(list_filter(cuts, c -> score > c)) AS tier
+  FROM scored CROSS JOIN cuts
+)
+SELECT tier, count(*) AS n_docs,
+       round(min(score), 4) + 0.0 AS min_score,
+       round(max(score), 4) + 0.0 AS max_score
+FROM tiered GROUP BY tier ORDER BY tier
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4542,6 +4717,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anomaly_mad": q_anomaly_mad,
     "embedding_pq_ann": q_embedding_pq_ann,
     "embedding_pq_rerank": q_embedding_pq_rerank,
+    "rollup_revenue": q_rollup_revenue,
+    "pivot_event_hours": q_pivot_event_hours,
+    "quality_tiers": q_quality_tiers,
 }
 
 ORACLES: dict[str, str] = {
@@ -4629,5 +4807,8 @@ ORACLES: dict[str, str] = {
     "anomaly_mad": ORACLE_ANOMALY_MAD,
     "embedding_pq_ann": ORACLE_EMBEDDING_PQ_ANN,
     "embedding_pq_rerank": ORACLE_EMBEDDING_PQ_RERANK,
+    "rollup_revenue": ORACLE_ROLLUP_REVENUE,
+    "pivot_event_hours": ORACLE_PIVOT_EVENT_HOURS,
+    "quality_tiers": ORACLE_QUALITY_TIERS,
 }
 
