@@ -4610,6 +4610,163 @@ FROM tiered GROUP BY tier ORDER BY tier
 """
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """Collocation extraction via pointwise mutual information over
+    adjacent-token bigrams (the phrase-mining pass of a tokenizer/
+    vocab pipeline): bigram and unigram counts are two hash
+    aggregations (map-side combined), the corpus totals are a
+    broadcast scalar pair, PMI is pure arithmetic on counts (exact
+    integers — no float summation anywhere), top-25 at support >= 10
+    via TakeOrderedAndProject + the sort_array rank idiom."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = docs.select(toks.alias("toks"))
+    bigrams = t.select(
+        F.explode(
+            F.filter(
+                F.zip_with(
+                    F.col("toks"),
+                    F.slice(
+                        F.col("toks"), 2,
+                        F.greatest(F.size("toks") - 1, F.lit(1)),
+                    ),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+                lambda p: p.getField("w2").isNotNull(),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = t.select(F.explode("toks").alias("tok"))
+    bc = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n_uni")).crossJoin(
+        bigrams.agg(F.count(F.lit(1)).alias("n_bg"))
+    )
+    a = uc.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
+    b = uc.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
+    scored = (
+        bc.filter(F.col("c_ab") >= 10)
+        .join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") * 1.0 / F.col("n_bg"))
+                    / (
+                        (F.col("c_a") * 1.0 / F.col("n_uni"))
+                        * (F.col("c_b") * 1.0 / F.col("n_uni"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(25)
+    return (
+        top.groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("pmi")).alias("neg"), "w1", "w2", "c_ab"
+                    )
+                )
+            ).alias("arr")
+        )
+        .select(F.posexplode("arr").alias("pos", "r"))
+        .select(
+            (F.col("pos") + 1).alias("rk"),
+            F.col("r.w1").alias("w1"),
+            F.col("r.w2").alias("w2"),
+            F.col("r.c_ab").alias("c_ab"),
+            (-F.col("r.neg") + F.lit(0.0)).alias("pmi"),
+        )
+        .orderBy("rk")
+    )
+
+
+ORACLE_PMI_COLLOCATIONS = r"""
+WITH t AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT unnest(list_filter(
+           list_zip(toks, list_slice(toks, 2, len(toks))),
+           p -> p[2] IS NOT NULL)) AS p
+  FROM t
+),
+bc AS (
+  SELECT p[1] AS w1, p[2] AS w2, count(*) AS c_ab
+  FROM bg GROUP BY w1, w2
+),
+uni AS (SELECT unnest(toks) AS tok FROM t),
+uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+tot AS (SELECT (SELECT count(*) FROM uni) AS n_uni,
+               (SELECT count(*) FROM bg) AS n_bg),
+scored AS (
+  SELECT w1, w2, c_ab,
+         round(ln((c_ab * 1.0 / n_bg) /
+                  ((a.c * 1.0 / n_uni) * (b.c * 1.0 / n_uni))), 6) AS pmi
+  FROM bc JOIN uc a ON a.tok = w1 JOIN uc b ON b.tok = w2 CROSS JOIN tot
+  WHERE c_ab >= 10
+)
+SELECT rk, w1, w2, c_ab, pmi FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rk
+  FROM scored
+) WHERE rk <= 25 ORDER BY rk
+"""
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Per-node triangle counts on the (undirected) hash-link graph —
+    the clustering-coefficient numerator and the other classic graph
+    pattern next to link_pagerank's power iteration. The canonical
+    distributed recipe: orient every undirected edge low->high, join
+    e1=(a,b) with e2=(b,c) to get open wedges, close them against
+    e3=(a,c) — each triangle counted exactly once because a < b < c.
+    The oracle replays graph construction and the wedge-close join."""
+    from .operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = G.hash_link_edges(docs, n_links=3)
+    return G.triangle_counts(edges).orderBy("node")
+
+
+ORACLE_GRAPH_TRIANGLES = """
+WITH n AS (SELECT count(*) AS n FROM documents),
+dir_edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src,
+           ('0x' || substr(md5('pr' || j || ':' || doc_id), 1, 14))::BIGINT
+             % (SELECT n FROM n) AS dst
+    FROM documents, (VALUES (1), (2), (3)) AS l(j)
+  ) WHERE src != dst
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM dir_edges
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, count(*) AS n_triangles
+FROM nodes GROUP BY node ORDER BY node
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4720,6 +4877,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_revenue": q_rollup_revenue,
     "pivot_event_hours": q_pivot_event_hours,
     "quality_tiers": q_quality_tiers,
+    "pmi_collocations": q_pmi_collocations,
+    "graph_triangles": q_graph_triangles,
 }
 
 ORACLES: dict[str, str] = {
@@ -4810,5 +4969,7 @@ ORACLES: dict[str, str] = {
     "rollup_revenue": ORACLE_ROLLUP_REVENUE,
     "pivot_event_hours": ORACLE_PIVOT_EVENT_HOURS,
     "quality_tiers": ORACLE_QUALITY_TIERS,
+    "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
+    "graph_triangles": ORACLE_GRAPH_TRIANGLES,
 }
 

@@ -94,3 +94,39 @@ def pagerank(nodes: DataFrame, edges: DataFrame, *, n_iter: int = 3,
             )
         )
     return ranks.select(F.col("node").alias(id_col), "rank")
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over a DIRECTED edge list (symmetrized
+    internally): orient each undirected edge low->high, join wedges
+    e1=(a,b) x e2=(b,c), close against e3=(a,c) — every triangle is
+    produced exactly once (a < b < c). Returns (node, n_triangles)
+    for nodes in >= 1 triangle.
+
+    Scale shape: two equi-joins on node keys; the classic hazard is a
+    high-degree hub exploding the wedge join (deg^2 wedges) — at scale
+    cap/split hub nodes or use degree-ordered orientation (orient
+    edges toward the higher-degree endpoint) to bound wedge counts."""
+    und = edges.select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+    ).distinct()
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a"))
+            & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

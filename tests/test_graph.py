@@ -68,3 +68,23 @@ def test_hash_link_edges_shape(spark):
     # out-degree is bounded by n_links
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d")).collect()
     assert all(1 <= r["d"] <= 3 for r in deg)
+
+
+def test_triangle_counts_known_graphs(spark):
+    # K4: 4 triangles, every node participates in C(3,2) = 3
+    k4 = [(i, j) for i in range(4) for j in range(4) if i != j]
+    e = spark.createDataFrame(k4, ["src", "dst"])
+    got = {r["node"]: r["n_triangles"]
+           for r in G.triangle_counts(e).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # one triangle + a pendant edge: node 3 is in no triangle
+    g2 = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    e2 = spark.createDataFrame(g2, ["src", "dst"])
+    got2 = {r["node"]: r["n_triangles"]
+            for r in G.triangle_counts(e2).collect()}
+    assert got2 == {0: 1, 1: 1, 2: 1}
+    # direction / duplicate edges don't change the undirected count
+    e3 = spark.createDataFrame(g2 + [(1, 0), (0, 2)], ["src", "dst"])
+    got3 = {r["node"]: r["n_triangles"]
+            for r in G.triangle_counts(e3).collect()}
+    assert got3 == got2
