@@ -4767,6 +4767,180 @@ FROM nodes GROUP BY node ORDER BY node
 """
 
 
+def q_char_entropy(spark, sf_dir):
+    """Character-entropy quality signal (low entropy = repetitive
+    boilerplate/junk — the compression-ratio filter's exact cousin
+    that stays SQL-expressible): H = -sum p*ln(p) over each doc's
+    character distribution. One explode + two doc-keyed aggregations;
+    per-symbol terms round to 9 before the <= |alphabet|-addend sum,
+    entropy to 6 with the -0.0 guard (a single-symbol doc yields
+    -1*ln(1) = -0.0)."""
+    docs = _t(spark, sf_dir, "documents")
+    cc = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cc.groupBy("doc_id").agg(
+        F.sum("n").alias("nt"), F.count(F.lit(1)).alias("n_symbols")
+    )
+    p = F.col("n") * 1.0 / F.col("nt")
+    # per-symbol terms become integer nano-nats: integer summation is
+    # order-proof, where a float sum of ~60 rounded terms can land on
+    # a 6th-decimal rounding boundary and flip between engines
+    term_ns = F.round((-p * F.log(p)) * F.lit(1000000000.0)).cast("bigint")
+    return (
+        cc.join(tot, "doc_id")
+        .withColumn("term_ns", term_ns)
+        .groupBy("doc_id")
+        .agg(
+            F.first("nt").alias("n_chars"),
+            F.first("n_symbols").alias("n_symbols"),
+            (
+                F.round(F.sum("term_ns") / F.lit(1000000000.0), 6)
+                + F.lit(0.0)
+            ).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+  FROM documents
+),
+cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+tot AS (
+  SELECT doc_id, sum(n)::BIGINT AS nt, count(*) AS n_symbols
+  FROM cc GROUP BY doc_id
+)
+SELECT doc_id, min(nt) AS n_chars, min(n_symbols) AS n_symbols,
+       round(sum(round((-(n * 1.0 / nt) * ln(n * 1.0 / nt))
+                       * 1000000000.0)::BIGINT) / 1000000000.0, 6) + 0.0
+         AS entropy
+FROM cc JOIN tot USING (doc_id)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff (the CDC view an incremental pipeline
+    consumes): two deterministic snapshots derived from the documents
+    table (old = ids not % 10, new = ids not % 7, with every % 5 doc
+    revised), diffed by a full-outer join on the key with md5 content
+    comparison -> added / removed / changed. Content hashes, not
+    timestamps, decide 'changed' — the replay-safe convention."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.md5(F.col("text")).alias("old_md5")
+    )
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" [rev2]")),
+            ).otherwise(F.col("text"))
+        ).alias("new_md5"),
+    )
+    j = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_md5").isNull(), F.lit("added"))
+        .when(F.col("new_md5").isNull(), F.lit("removed"))
+        .when(F.col("old_md5") != F.col("new_md5"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status") != "unchanged")
+        .select("doc_id", "status")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS old_md5 FROM documents WHERE doc_id % 10 != 0
+),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                  ELSE text END) AS new_md5
+  FROM documents WHERE doc_id % 7 != 0
+),
+j AS (
+  SELECT coalesce(old.doc_id, new.doc_id) AS doc_id, old_md5, new_md5
+  FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+)
+SELECT doc_id,
+       CASE WHEN old_md5 IS NULL THEN 'added'
+            WHEN new_md5 IS NULL THEN 'removed'
+            WHEN old_md5 != new_md5 THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM j
+WHERE (CASE WHEN old_md5 IS NULL THEN 'added'
+            WHEN new_md5 IS NULL THEN 'removed'
+            WHEN old_md5 != new_md5 THEN 'changed'
+            ELSE 'unchanged' END) != 'unchanged'
+ORDER BY doc_id
+"""
+
+
+_Z_EXPR = " + ".join(
+    f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8)
+)
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout key over (user bucket, hour bucket) —
+    the lakehouse file-clustering trick that makes range predicates on
+    EITHER dimension prune files. Events get a 16-bit interleaved
+    z-key (identical bit expression on both engines); the report
+    groups by the top-4 z-bits (16 'files') and shows each file's
+    bounding box in BOTH dimensions — tight on x AND y, which a
+    1-D sort cannot give. The locality bound (box <= 64x64) is pinned
+    in tests."""
+    def build():
+        ev = _t(spark, sf_dir, "events")
+        xy = ev.select(
+            F.pmod(F.col("user_id"), F.lit(256)).alias("x"),
+            F.pmod(
+                F.floor(
+                    F.col("ts").cast("timestamp").cast("double") / 3600.0
+                ).cast("bigint"),
+                F.lit(256),
+            ).alias("y"),
+        )
+        z = xy.withColumn("z", F.expr(_Z_EXPR))
+        return (
+            z.groupBy(F.expr("(z >> 12)").cast("int").alias("zbucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+                F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+            )
+            .orderBy("zbucket")
+        )
+
+    return _utc_plan(spark, build)
+
+
+ORACLE_ZORDER_LAYOUT = f"""
+WITH xy AS (
+  SELECT user_id % 256 AS x,
+         (floor(epoch(ts) / 3600.0)::BIGINT % 256 + 256) % 256 AS y
+  FROM events
+),
+z AS (SELECT x, y, {_Z_EXPR} AS z FROM xy)
+SELECT (z >> 12)::INT AS zbucket, count(*) AS n_rows,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y
+FROM z GROUP BY zbucket ORDER BY zbucket
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4879,6 +5053,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_tiers": q_quality_tiers,
     "pmi_collocations": q_pmi_collocations,
     "graph_triangles": q_graph_triangles,
+    "char_entropy": q_char_entropy,
+    "snapshot_diff": q_snapshot_diff,
+    "zorder_layout": q_zorder_layout,
 }
 
 ORACLES: dict[str, str] = {
@@ -4971,5 +5148,8 @@ ORACLES: dict[str, str] = {
     "quality_tiers": ORACLE_QUALITY_TIERS,
     "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
     "graph_triangles": ORACLE_GRAPH_TRIANGLES,
+    "char_entropy": ORACLE_CHAR_ENTROPY,
+    "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "zorder_layout": ORACLE_ZORDER_LAYOUT,
 }
 

@@ -44,3 +44,35 @@ def test_shipping_priority_plan_shape(spark):
     assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
     revs = [r["revenue"] for r in rows]
     assert revs == sorted(revs, reverse=True)
+
+
+def test_zorder_buckets_are_local_in_both_dims(spark):
+    # top-4 z-bits carve the 256x256 grid into 16 quadrant cells of
+    # 64x64: every bucket's bounding box must fit one — the 2-D
+    # locality a 1-D sort can't give (a sort by x alone would span the
+    # full y range in every file)
+    rows = QUERIES["zorder_layout"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["max_x"] - r["min_x"] <= 63
+        assert r["max_y"] - r["min_y"] <= 63
+        assert r["n_rows"] > 0
+
+
+def test_snapshot_diff_statuses_partition_the_keys(spark):
+    rows = QUERIES["snapshot_diff"](spark, SF).collect()
+    by_status: dict[str, set] = {}
+    for r in rows:
+        by_status.setdefault(r["status"], set()).add(r["doc_id"])
+    assert set(by_status) == {"added", "removed", "changed"}
+    # construction invariants: added = %10 docs kept by new filter;
+    # removed = %7 docs present in old; changed = revised %5 survivors
+    assert all(d % 10 == 0 and d % 7 != 0 for d in by_status["added"])
+    assert all(d % 7 == 0 and d % 10 != 0 for d in by_status["removed"])
+    assert all(
+        d % 5 == 0 and d % 7 != 0 and d % 10 != 0
+        for d in by_status["changed"]
+    )
+    # statuses are disjoint
+    assert not (by_status["added"] & by_status["removed"])
+    assert not (by_status["added"] & by_status["changed"])
