@@ -36,7 +36,11 @@ def test_all_oracles_parse_in_duckdb():
 # hidden in plan construction (VERDICT r2 #7).
 CONSTRUCTION_RUNS_JOBS = {"embedding_ivf_ann", "dedup_components", "bpe_train_merges",
                           "dedup_components_star", "dedup_representatives",
-                          "embedding_kmeans_clusters", "logistic_quality"}
+                          "embedding_kmeans_clusters", "logistic_quality",
+                          # PQ collects its codebook seeds + query vectors
+                          # driver-side (bounded model state, the IVF
+                          # _collect_centroids pattern)
+                          "embedding_pq_ann", "embedding_pq_rerank"}
 
 
 def test_registry_construction_runs_no_jobs(spark):
