@@ -4941,6 +4941,51 @@ FROM z GROUP BY zbucket ORDER BY zbucket
 """
 
 
+def q_json_props_rollup(spark, sf_dir):
+    """Semi-structured column processing: the events.props JSON string
+    is parsed ONCE with a declared schema (from_json — typed, null on
+    malformed, no per-field re-parse like chained get_json_object) and
+    rolled up per event type. At 100 TB the parse is a projection
+    inside the scan stage; declaring the schema keeps the JSON parse
+    out of the shuffle and lets Catalyst prune unused fields."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).cast(
+                "bigint"
+            ).alias("n_malformed"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            (
+                F.round(F.sum("k") * 1.0 / F.count("k"), 6) + F.lit(0.0)
+            ).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_JSON_PROPS_ROLLUP = """
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_malformed,
+       sum(k)::BIGINT AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       round(sum(k) * 1.0 / count(k), 6) + 0.0 AS avg_k
+FROM x GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5056,6 +5101,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy": q_char_entropy,
     "snapshot_diff": q_snapshot_diff,
     "zorder_layout": q_zorder_layout,
+    "json_props_rollup": q_json_props_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -5151,5 +5197,6 @@ ORACLES: dict[str, str] = {
     "char_entropy": ORACLE_CHAR_ENTROPY,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "zorder_layout": ORACLE_ZORDER_LAYOUT,
+    "json_props_rollup": ORACLE_JSON_PROPS_ROLLUP,
 }
 
