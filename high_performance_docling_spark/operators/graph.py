@@ -130,3 +130,64 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def pagerank_converged(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    tol: float = 1e-6,
+    max_iter: int = 50,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, int]:
+    """Run power iterations until max |rank - prev| < tol (the
+    production mode next to the registry's fixed-3-iteration replay).
+    Driver-side loop with one tiny max-agg action per iteration (the
+    kmeans-fit pattern); every `checkpoint_every` rounds the rank
+    frame is localCheckpoint()ed to cut lineage — without it the plan
+    tree, not the data, becomes the bottleneck past ~10 iterations.
+    Returns (ranks, n_iterations_run)."""
+    n = nodes.select(F.count(F.lit(1)).alias("n_nodes"))
+    ids = nodes.select(F.col(id_col).alias("node"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = ids.crossJoin(F.broadcast(n)).select(
+        "node", F.round(F.lit(1.0) / F.col("n_nodes"), 9).alias("rank")
+    )
+    it = 0
+    for it in range(1, max_iter + 1):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("rank") / F.col("deg"), 9).alias("w"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("w").alias("s"))
+        nxt = (
+            ids.join(sums, "node", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                F.round(
+                    F.lit(1.0 - damping) / F.col("n_nodes")
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                    9,
+                ).alias("rank"),
+            )
+        )
+        if it % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        delta = (
+            nxt.join(
+                ranks.select("node", F.col("rank").alias("prev")), "node"
+            )
+            .agg(F.max(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
+            .first()["d"]
+        )
+        ranks = nxt
+        if delta is not None and delta < tol:
+            break
+    return ranks.select(F.col("node").alias(id_col), "rank"), it

@@ -88,3 +88,28 @@ def test_triangle_counts_known_graphs(spark):
     got3 = {r["node"]: r["n_triangles"]
             for r in G.triangle_counts(e3).collect()}
     assert got3 == got2
+
+
+def test_pagerank_converged_reaches_fixpoint(spark):
+    nodes = spark.createDataFrame([(v,) for v in NODES], ["doc_id"])
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    # damping 0.5 so the geometric convergence rate (damping^k) hits
+    # tol within a test-sized iteration budget
+    ranks, it = G.pagerank_converged(
+        nodes, edges, tol=1e-6, max_iter=30, damping=0.5,
+        checkpoint_every=5,
+    )
+    got = {r["doc_id"]: r["rank"] for r in ranks.collect()}
+    assert it < 30  # converged, didn't hit the cap
+    # fixpoint: one more fixed iteration moves nothing beyond tol
+    again = {
+        r["doc_id"]: r["rank"]
+        for r in G.pagerank(
+            nodes, edges, n_iter=it + 1, damping=0.5
+        ).collect()
+    }
+    assert all(abs(got[v] - again[v]) < 1e-6 for v in got)
+    # mass never exceeds 1 (dangling mass is dropped)
+    assert sum(got.values()) <= 1.0 + 1e-9
+    # ordering matches the structural expectation
+    assert got[0] == max(got.values())
