@@ -4986,6 +4986,138 @@ FROM x GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of each user's event-type
+    stream (the behavioral-sequence model behind funnels): lag window
+    per user -> (prev, next) pair counts -> row-normalized transition
+    probabilities. One user-keyed window + one pair-keyed aggregation;
+    probabilities are exact count ratios (integer-exact until the one
+    final rounded division)."""
+    def build():
+        ev = _t(spark, sf_dir, "events")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        pairs = (
+            ev.withColumn("prev", F.lag("event_type").over(w))
+            .filter(F.col("prev").isNotNull())
+            .groupBy(
+                F.col("prev").alias("from_type"),
+                F.col("event_type").alias("to_type"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        wrow = W.partitionBy("from_type")
+        return (
+            pairs.withColumn("row_total", F.sum("n").over(wrow))
+            .select(
+                "from_type", "to_type", "n",
+                (
+                    F.round(F.col("n") * 1.0 / F.col("row_total"), 6)
+                    + F.lit(0.0)
+                ).alias("p"),
+            )
+            .orderBy("from_type", "to_type")
+        )
+
+    return _utc_plan(spark, build)
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+pairs AS (
+  SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+  FROM seq WHERE prev IS NOT NULL
+  GROUP BY prev, event_type
+)
+SELECT from_type, to_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) + 0.0 AS p
+FROM pairs ORDER BY from_type, to_type
+"""
+
+
+def q_trigram_similarity_pairs(spark, sf_dir):
+    """Set-based fuzzy matching (the pg_trgm complement to
+    levenshtein linkage): character-trigram Jaccard over distinct part
+    names. Trigram SETS per name via one explode+distinct, candidate
+    pairs ONLY via the shared-trigram equi-join (a pair with zero
+    common trigrams is never materialized), Jaccard from exact integer
+    set sizes. Pairs with similarity >= 0.35."""
+    part = _t(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    # substring with a column start isn't expressible via F.substring
+    # (literal-only args) — use the SQL form shared with the oracle
+    tris = names.select(
+        "name",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, length(name) - 2),"
+                " i -> substring(name, i, 3)))"
+            )
+        ).alias("tri"),
+    )
+    sizes = tris.groupBy("name").agg(F.count(F.lit(1)).alias("sz"))
+    a = tris.select(F.col("name").alias("name_a"), "tri")
+    b = tris.select(F.col("name").alias("name_b"), "tri")
+    inter = (
+        a.join(b, "tri")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .groupBy("name_a", "name_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("name").alias("name_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("name").alias("name_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "name_a")
+        .join(F.broadcast(sb), "name_b")
+        .select(
+            "name_a", "name_b", "n_common",
+            (
+                F.round(
+                    F.col("n_common")
+                    * 1.0
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.35)
+        .orderBy("name_a", "name_b")
+    )
+
+
+ORACLE_TRIGRAM_SIMILARITY_PAIRS = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+tris AS (
+  SELECT name, unnest(list_distinct(
+           list_transform(range(1, length(name) - 1),
+                          i -> substring(name, i, 3)))) AS tri
+  FROM names
+),
+sizes AS (SELECT name, count(*) AS sz FROM tris GROUP BY name),
+inter AS (
+  SELECT a.name AS name_a, b.name AS name_b, count(*) AS n_common
+  FROM tris a JOIN tris b ON a.tri = b.tri AND a.name < b.name
+  GROUP BY name_a, name_b
+),
+scored AS (
+  SELECT name_a, name_b, n_common,
+         round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) + 0.0
+           AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.name = name_a
+  JOIN sizes sb ON sb.name = name_b
+)
+SELECT name_a, name_b, n_common, jaccard
+FROM scored WHERE jaccard >= 0.35
+ORDER BY name_a, name_b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5102,6 +5234,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "zorder_layout": q_zorder_layout,
     "json_props_rollup": q_json_props_rollup,
+    "event_transitions": q_event_transitions,
+    "trigram_similarity_pairs": q_trigram_similarity_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -5198,5 +5332,7 @@ ORACLES: dict[str, str] = {
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "zorder_layout": ORACLE_ZORDER_LAYOUT,
     "json_props_rollup": ORACLE_JSON_PROPS_ROLLUP,
+    "event_transitions": ORACLE_EVENT_TRANSITIONS,
+    "trigram_similarity_pairs": ORACLE_TRIGRAM_SIMILARITY_PAIRS,
 }
 
