@@ -393,3 +393,34 @@ def extract_fetched_pdfs(fetched_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "spans"])
 
     return fetched_df.mapInPandas(fn, SPANS_OUT_SCHEMA)
+
+
+def read_jsonl_quarantined(
+    spark: SparkSession,
+    path: str,
+    schema: str = "id STRING, text STRING, source STRING",
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL ingest with a corrupt-record quarantine (the contract a
+    crawl delivery needs: one bad line must never kill the batch, and
+    must stay inspectable). PERMISSIVE mode routes unparseable lines
+    into _corrupt_record; returns (good, quarantined) where
+    `quarantined` carries the raw offending line verbatim.
+
+    Spark refuses a filter that references only the corrupt column on
+    an uncached frame (the parser would need a second pass), so the
+    frame is persisted for the split — at 100 TB prefer writing the
+    split once (badRecordsPath-style) over keeping it cached."""
+    raw = (
+        spark.read.schema(schema + ", _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .persist()
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    quarantined = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, quarantined

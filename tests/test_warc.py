@@ -317,3 +317,21 @@ def test_warc_to_spans_through_spark(spark, tmp_path):
     assert not any("menu junk" in t for t in texts)  # <nav> stripped
     assert out[pdf_doc][0] == ("section_header", "Engine Report", 0)
     assert len(out[pdf_doc]) == 6
+
+
+def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
+    from high_performance_docling_spark.sources import read_jsonl_quarantined
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": "a", "text": "hello world", "source": "s1"}\n'
+        '{"id": "b", "text": "ok", "source": "s1"}\n'
+        "{this is not json at all\n"
+        '{"id": "c", "text": "fine"}\n'
+    )
+    good, bad = read_jsonl_quarantined(spark, str(p))
+    g = {r["id"]: r for r in good.collect()}
+    assert set(g) == {"a", "b", "c"}
+    assert g["c"]["source"] is None  # missing field, not corrupt
+    q = [r["raw_line"] for r in bad.collect()]
+    assert q == ["{this is not json at all"]
