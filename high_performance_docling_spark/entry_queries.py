@@ -2165,12 +2165,11 @@ def q_cms_heavy_hitters(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
 
     def bucket(i: int):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"cms{i}:"),
-                               F.col("user_id").cast("string"))), 1, 8),
-            16, 10,
-        ).cast("bigint") % w
+        # shared with streaming/sketches.stream_cms_counters — the
+        # streamed counter table must hash identically to this query
+        from .operators.sketches import cms_bucket
+
+        return cms_bucket(F.col("user_id"), i, w)
 
     rows = ev.select(
         "user_id",

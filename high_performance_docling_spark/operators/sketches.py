@@ -64,3 +64,19 @@ def hll_estimate_from_registers(
         F.round(est, 4).alias("hll_estimate"),
         zeros.cast("int").alias("empty_registers"),
     )
+
+
+CMS_D = 4    # hash rows
+CMS_W = 256  # buckets per row
+
+
+def cms_bucket(key: Column, row: int, w: int = CMS_W) -> Column:
+    """Portable count-min bucket: row-salted md5 -> 32-bit prefix mod w
+    (the same expression the batch heavy-hitters query and its DuckDB
+    oracle compute — byte-identical across engines)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"cms{row}:"), key.cast("string"))), 1, 8
+        ),
+        16, 10,
+    ).cast("bigint") % w

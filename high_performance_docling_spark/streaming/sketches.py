@@ -47,3 +47,51 @@ def stream_hll_registers(
             F.col("w.start").alias("window_start"), "event_type", "reg", "mx"
         )
     )
+
+
+def stream_cms_counters(
+    spark: SparkSession, source_dir: str, window: str = "1 hour",
+    watermark: str = "30 minutes", d: int = 4, w: int = 256,
+) -> DataFrame:
+    """Streaming count-min sketch: per-(window, row, bucket) COUNTER
+    maintenance. Unlike the HLL's max, a counter SUM is not
+    redelivery-idempotent, so the stream first deduplicates event_ids
+    within the watermark (dropDuplicatesWithinWatermark — bounded
+    state) and only then explodes each event into its d (row, bucket)
+    cells and counts. State stays <= d*w cells per open (window)
+    regardless of event rate; estimates finalize batch-side exactly
+    like the batch cms_heavy_hitters query (same cms_bucket hash, so
+    streamed counters == batch counters byte-for-byte on a deduped
+    feed — asserted in tests)."""
+    from ..operators.sketches import cms_bucket
+
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(source_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    cells = deduped.select(
+        "ts",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    cms_bucket(F.col("user_id"), i, w).alias("bucket"),
+                )
+                for i in range(d)
+            ])
+        ).alias("rb"),
+    )
+    return (
+        cells.groupBy(
+            F.window("ts", window).alias("wd"), "rb.row", "rb.bucket"
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.col("wd.start").alias("window_start"), "row", "bucket", "c"
+        )
+    )

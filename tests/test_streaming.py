@@ -220,3 +220,55 @@ def test_stream_screen_incoming_matches_batch(spark, tmp_path):
     assert {k for k, v in got.items() if v[1] == 0} == {
         k for k, v in want.items() if v[0] > 0
     }
+
+
+def test_stream_cms_counters_match_batch_on_duplicated_feed(spark, tmp_path):
+    """Exactly-once counting under at-least-once delivery: the stream
+    dedups event_ids within the watermark BEFORE counting, so a
+    duplicated feed yields the same counters as ONE batch pass — and
+    the counters use the same cms_bucket hash as the batch
+    heavy-hitters query, so they are interchangeable for estimates."""
+    import shutil
+
+    from high_performance_docling_spark.operators.sketches import cms_bucket
+    from high_performance_docling_spark.streaming.sketches import (
+        stream_cms_counters,
+    )
+
+    src = tmp_path / "events_cms"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "part-0.parquet")
+    shutil.copy(f"{SF}/events.parquet", src / "part-1.parquet")  # replay
+
+    counters = stream_cms_counters(spark, str(src), window="1 hour")
+    got = {
+        (str(r["window_start"]), r["row"], r["bucket"]): r["c"]
+        for r in run_stream_once(counters, "t_cms").collect()
+    }
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    cells = ev.select(
+        "ts",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    cms_bucket(F.col("user_id"), i).alias("bucket"),
+                )
+                for i in range(4)
+            ])
+        ).alias("rb"),
+    )
+    want = {
+        (str(r["window_start"]), r["row"], r["bucket"]): r["c"]
+        for r in cells.groupBy(
+            F.window("ts", "1 hour").alias("wd"), "rb.row", "rb.bucket"
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("wd.start").alias("window_start"), "row",
+                "bucket", "c")
+        .collect()
+    }
+    assert got == want and len(got) > 0
