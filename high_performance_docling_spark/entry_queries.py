@@ -5117,6 +5117,46 @@ ORDER BY name_a, name_b
 """
 
 
+def q_skew_salted_join(spark, sf_dir):
+    """Skew-safe salted JOIN (completes the skew toolkit next to
+    skew_salted_agg): orders⋈customer on the customer key with the
+    fact side salted deterministically (hash of the order key) and the
+    dim side replicated x8, so one hot customer's rows spread over 8
+    reducers. Result is row-identical to the plain join — the oracle
+    IS the plain join — and the plan carries the (key, salt) exchange
+    (pinned in tests). Revenue per market segment, rounded leaf-style."""
+    from .operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        cust,
+        "c_custkey",
+        n_salts=8,
+        salt_source="o_orderkey",
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.round(F.sum("o_totalprice"), 2) + F.lit(0.0)).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_SKEW_SALTED_JOIN = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) + 0.0 AS total_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5235,6 +5275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_props_rollup": q_json_props_rollup,
     "event_transitions": q_event_transitions,
     "trigram_similarity_pairs": q_trigram_similarity_pairs,
+    "skew_salted_join": q_skew_salted_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -5333,5 +5374,6 @@ ORACLES: dict[str, str] = {
     "json_props_rollup": ORACLE_JSON_PROPS_ROLLUP,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
     "trigram_similarity_pairs": ORACLE_TRIGRAM_SIMILARITY_PAIRS,
+    "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
 }
 

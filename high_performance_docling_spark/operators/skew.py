@@ -33,3 +33,39 @@ def salted_agg(
     salted = df.withColumn("__salt", salt_expr % n_salts)
     partial = salted.groupBy(key, "__salt").agg(*partial_aggs)
     return partial.groupBy(key).agg(*final_aggs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    n_salts: int = 8,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Skew-safe equi-join: the FACT side gets a deterministic salt in
+    [0, n_salts) (derived from `salt_source`, a high-cardinality fact
+    column — never random, so replays are identical), the DIM side is
+    REPLICATED n_salts times, and the join key becomes (key, salt) —
+    one hot key's rows now land on n_salts reducers instead of one.
+
+    Use when AQE's skew-join split can't help (e.g. the hot key's rows
+    must still co-locate with a non-broadcastable dim). Cost: dim side
+    is written n_salts times across the exchange — size n_salts so
+    (|dim| * n_salts) stays well under the fact shuffle it fixes.
+    Result is row-identical to fact.join(dim, key) (asserted in
+    tests)."""
+    if salt_source is None:
+        raise ValueError(
+            "salt_source is required: a deterministic fact column keeps "
+            "replays byte-identical (a random/monotonic salt is not "
+            "stable across runs)"
+        )
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.abs(F.hash(F.col(salt_source))), F.lit(n_salts))
+    )
+    exploded_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_fact.join(exploded_dim, [key, "_salt"]).drop("_salt")
+    return out

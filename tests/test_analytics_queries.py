@@ -76,3 +76,30 @@ def test_snapshot_diff_statuses_partition_the_keys(spark):
     # statuses are disjoint
     assert not (by_status["added"] & by_status["removed"])
     assert not (by_status["added"] & by_status["changed"])
+
+
+def test_salted_join_is_row_identical_and_salts_the_exchange(spark):
+    from pyspark.sql import functions as F
+
+    from high_performance_docling_spark.operators.skew import salted_join
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    plain = orders.join(cust, "c_custkey")
+    salted = salted_join(orders, cust, "c_custkey", n_salts=8,
+                         salt_source="o_orderkey")
+    # row-identical result
+    a = sorted(map(str, plain.select(sorted(plain.columns)).collect()))
+    b = sorted(map(str, salted.select(sorted(plain.columns)).collect()))
+    assert a == b
+    # the join key is (key, salt): the exchange partitions on both
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+    # deterministic replay: same salt assignment both times
+    s1 = salted.select("c_custkey", "o_orderkey").collect()
+    s2 = salted.select("c_custkey", "o_orderkey").collect()
+    assert sorted(map(str, s1)) == sorted(map(str, s2))
