@@ -5157,6 +5157,132 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def q_event_seasonality(spark, sf_dir):
+    """Calendar seasonality profile: event volume and mean value by
+    (ISO weekday, hour) — one shuffle on a 7x24-bounded key. Spark's
+    dayofweek is Sunday=1 while the oracle's isodow is Monday=1, so
+    the Spark side maps explicitly ((dow + 5) %% 7 + 1) — calendar
+    function mismatches across engines are contract bugs waiting to
+    happen and are pinned here."""
+    def build():
+        ev = _t(spark, sf_dir, "events")
+        ts = F.col("ts").cast("timestamp")
+        isodow = (F.dayofweek(ts) + 5) % 7 + 1
+        return (
+            ev.groupBy(
+                isodow.alias("iso_dow"), F.hour(ts).alias("hour")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (F.round(F.avg("value"), 6) + F.lit(0.0)).alias(
+                    "avg_value"
+                ),
+            )
+            .orderBy("iso_dow", "hour")
+        )
+
+    return _utc_plan(spark, build)
+
+
+ORACLE_EVENT_SEASONALITY = """
+SELECT isodow(ts) AS iso_dow, hour(ts) AS hour,
+       count(*) AS n_events,
+       round(avg(value), 6) + 0.0 AS avg_value
+FROM events GROUP BY iso_dow, hour ORDER BY iso_dow, hour
+"""
+
+
+def q_revenue_share_pareto(spark, sf_dir):
+    """Pareto analysis of nation revenue: share of total and running
+    cumulative share in revenue-descending order, flagging the nations
+    that make up the first 80%. The running sum is computed WITHOUT a
+    partition-less window (the WindowExec funnel/warning trap): the
+    25-row nation rollup collapses into one sorted array and the
+    prefix sums come from an O(k^2)-on-k-rows JVM fold — fine because
+    k is the nation count, never the fact count. Leaf revenues are
+    rounded before the share math (order-proof totals)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    leaf = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("rev")
+        )
+    )
+    arr = leaf.groupBy().agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct((-F.col("rev")).alias("neg"), F.col("n_name"))
+            )
+        ).alias("arr"),
+        (F.round(F.sum("rev"), 2) + F.lit(0.0)).alias("total"),
+    )
+    # prefix sum over the k-row array: slice + aggregate, pure JVM
+    cum = F.expr(
+        "transform(arr, (s, i) -> round(aggregate(slice(arr, 1, i + 1),"
+        " 0.0D, (acc, t) -> acc - t.neg), 2))"
+    )
+    return (
+        arr.select("total", F.posexplode(cum).alias("pos", "cum_rev"),
+                   F.col("arr"))
+        .select(
+            (F.col("pos") + 1).alias("rk"),
+            F.element_at(F.col("arr"), F.col("pos") + 1)
+            .getField("n_name")
+            .alias("n_name"),
+            (
+                -F.element_at(F.col("arr"), F.col("pos") + 1).getField("neg")
+                + F.lit(0.0)
+            ).alias("revenue"),
+            (F.round(F.col("cum_rev") / F.col("total"), 6) + F.lit(0.0)).alias(
+                "cum_share"
+            ),
+            (
+                (
+                    F.round(F.col("cum_rev") / F.col("total"), 6)
+                    + F.lit(0.0)
+                    <= 0.8
+                ).cast("int")
+            ).alias("in_pareto_80"),
+        )
+        .orderBy("rk")
+    )
+
+
+ORACLE_REVENUE_SHARE_PARETO = """
+WITH leaf AS (
+  SELECT n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name
+),
+tot AS (SELECT round(sum(rev), 2) + 0.0 AS total FROM leaf),
+ranked AS (
+  SELECT n_name, rev,
+         row_number() OVER (ORDER BY rev DESC, n_name) AS rk,
+         round(sum(rev) OVER (ORDER BY rev DESC, n_name
+                              ROWS UNBOUNDED PRECEDING), 2) AS cum_rev
+  FROM leaf
+)
+SELECT rk, n_name, rev + 0.0 AS revenue,
+       round(cum_rev / total, 6) + 0.0 AS cum_share,
+       CASE WHEN round(cum_rev / total, 6) + 0.0 <= 0.8
+            THEN 1 ELSE 0 END AS in_pareto_80
+FROM ranked CROSS JOIN tot ORDER BY rk
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5276,6 +5402,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transitions": q_event_transitions,
     "trigram_similarity_pairs": q_trigram_similarity_pairs,
     "skew_salted_join": q_skew_salted_join,
+    "event_seasonality": q_event_seasonality,
+    "revenue_share_pareto": q_revenue_share_pareto,
 }
 
 ORACLES: dict[str, str] = {
@@ -5375,5 +5503,7 @@ ORACLES: dict[str, str] = {
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
     "trigram_similarity_pairs": ORACLE_TRIGRAM_SIMILARITY_PAIRS,
     "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
+    "event_seasonality": ORACLE_EVENT_SEASONALITY,
+    "revenue_share_pareto": ORACLE_REVENUE_SHARE_PARETO,
 }
 
