@@ -5283,6 +5283,63 @@ FROM ranked CROSS JOIN tot ORDER BY rk
 """
 
 
+def q_trending_event_types(spark, sf_dir):
+    """Day-over-day trending detection: daily counts per event type,
+    growth ratio vs the previous day via a type-partitioned lag (a
+    bounded-cardinality window — never the partition-less trap), and
+    a trending flag at >= 1.2x. The daily rollup is the only
+    fact-sized shuffle; the window runs over |types| x |days| rows."""
+    def build():
+        ev = _t(spark, sf_dir, "events")
+        daily = (
+            ev.groupBy(
+                "event_type",
+                F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = W.partitionBy("event_type").orderBy("day")
+        # growth derives from the MATERIALIZED prev_n: a lag() in the
+        # post-filter select would re-run the window over the filtered
+        # frame and shift every type's first surviving row to NULL
+        growth = F.round(
+            F.col("n") * 1.0 / F.col("prev_n"), 6
+        ) + F.lit(0.0)
+        return (
+            daily.withColumn("prev_n", F.lag("n").over(w))
+            .filter(F.col("prev_n").isNotNull())
+            .select(
+                "event_type",
+                F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "n", "prev_n",
+                growth.alias("growth"),
+                (growth >= 1.2).cast("int").alias("trending"),
+            )
+            .orderBy("event_type", "day")
+        )
+
+    return _utc_plan(spark, build)
+
+
+ORACLE_TRENDING_EVENT_TYPES = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, count(*) AS n
+  FROM events GROUP BY event_type, day
+),
+g AS (
+  SELECT event_type, day, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+  FROM daily
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n, prev_n,
+       round(n * 1.0 / prev_n, 6) + 0.0 AS growth,
+       CASE WHEN round(n * 1.0 / prev_n, 6) + 0.0 >= 1.2
+            THEN 1 ELSE 0 END AS trending
+FROM g WHERE prev_n IS NOT NULL
+ORDER BY event_type, day
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5404,6 +5461,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_join": q_skew_salted_join,
     "event_seasonality": q_event_seasonality,
     "revenue_share_pareto": q_revenue_share_pareto,
+    "trending_event_types": q_trending_event_types,
 }
 
 ORACLES: dict[str, str] = {
@@ -5505,5 +5563,6 @@ ORACLES: dict[str, str] = {
     "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
     "event_seasonality": ORACLE_EVENT_SEASONALITY,
     "revenue_share_pareto": ORACLE_REVENUE_SHARE_PARETO,
+    "trending_event_types": ORACLE_TRENDING_EVENT_TYPES,
 }
 
