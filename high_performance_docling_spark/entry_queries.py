@@ -5351,6 +5351,14 @@ ORDER BY event_type, day
 # rotated to the front so the union of per-round driver artifacts covers
 # every registry entry. The 12 that rotate out (export_markdown ..
 # tfidf_keywords) all have green driver rows in CORRECTNESS_r05.json.
+#
+# ROUND-7 ROTATION PLAN (do this at the START of round 7, never
+# mid-round — the driver's r6 artifact must record THIS order): move
+# the tail block `sample_weighted` .. `trending_event_types` (the 27
+# round-6 additions, every one verified at sf0.001 AND sf0.01 by
+# scripts/verify_queries.py full sweeps) to the FRONT of the dict,
+# keeping the two e2e entries inside the first 50; the entries they
+# displace all have driver-green rows in CORRECTNESS_r01..r06.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_val_split": q_train_val_split,
     "dedup_substring_spans": q_dedup_substring_spans,
