@@ -5340,6 +5340,57 @@ ORDER BY event_type, day
 """
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowing fingerprint dedup (Schleimer et al. 2003, the MOSS
+    scheme — the guaranteed-detection member of the dedup family):
+    char-8-gram md5 hashes, sliding window-4 minima per doc, distinct
+    fingerprints, then a shared-fingerprint self-join with
+    stop-fingerprint capping (df > 25 docs dropped — the hot keys that
+    would otherwise blow the join up). Pairs sharing >= 5 fingerprints.
+    The oracle replays hashing, the sliding ROWS-frame min, capping and
+    the pair join."""
+    from .operators import winnow as WN
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = WN.winnow_fingerprints(docs, k=8, w=4)
+    return WN.winnow_shared_pairs(fps, max_df=25, min_shared=5).orderBy(
+        "a", "b"
+    )
+
+
+ORACLE_WINNOW_PAIRS = """
+WITH d AS (
+  SELECT doc_id, lower(trim(text)) AS t,
+         length(lower(trim(text))) - 7 AS n_pos
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, n_pos, i AS pos,
+         ('0x' || substr(md5(substring(t, i, 8)), 1, 14))::BIGINT AS h
+  FROM d, LATERAL (SELECT unnest(range(1, greatest(n_pos, 1) + 1)) AS i)
+),
+winnowed AS (
+  SELECT doc_id, pos, n_pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM winnowed WHERE pos <= n_pos - 3
+),
+df_counts AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+rare AS (
+  SELECT doc_id, fp FROM fps
+  WHERE fp IN (SELECT fp FROM df_counts WHERE df <= 25)
+)
+SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+FROM rare x JOIN rare y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id
+HAVING count(*) >= 5
+ORDER BY a, b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5470,6 +5521,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_seasonality": q_event_seasonality,
     "revenue_share_pareto": q_revenue_share_pareto,
     "trending_event_types": q_trending_event_types,
+    "winnow_pairs": q_winnow_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -5572,5 +5624,6 @@ ORACLES: dict[str, str] = {
     "event_seasonality": ORACLE_EVENT_SEASONALITY,
     "revenue_share_pareto": ORACLE_REVENUE_SHARE_PARETO,
     "trending_event_types": ORACLE_TRENDING_EVENT_TYPES,
+    "winnow_pairs": ORACLE_WINNOW_PAIRS,
 }
 
