@@ -5391,6 +5391,94 @@ ORDER BY a, b
 """
 
 
+def q_fk_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit across the star schema (the data-
+    quality gate a warehouse load runs): one LEFT ANTI join per FK
+    edge, reported as (relation, n_child_rows, n_orphans). Anti-joins
+    against dimension-sized parents broadcast; the fact-sized parent
+    (orders) sort-merge-joins on its key. A healthy load shows zero
+    orphans — the audit EXISTS so a broken load shows where."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    def audit(name, child, child_key, parent, parent_key, bcast=True):
+        p = parent.select(F.col(parent_key).alias(child_key)).distinct()
+        if bcast:
+            p = F.broadcast(p)
+        orphans = child.join(p, child_key, "left_anti")
+        return child.agg(
+            F.lit(name).alias("relation"),
+            F.count(F.lit(1)).alias("n_child_rows"),
+        ).crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+
+    audits = [
+        audit("lineitem.l_orderkey -> orders", li, "l_orderkey",
+              orders, "o_orderkey", bcast=False),
+        audit("lineitem.l_partkey -> part", li, "l_partkey",
+              part, "p_partkey"),
+        audit("lineitem.l_suppkey -> supplier", li, "l_suppkey",
+              supp, "s_suppkey"),
+        audit("orders.o_custkey -> customer", orders, "o_custkey",
+              cust, "c_custkey"),
+        audit("customer.c_nationkey -> nation", cust, "c_nationkey",
+              nation, "n_nationkey"),
+        audit("supplier.s_nationkey -> nation", supp, "s_nationkey",
+              nation, "n_nationkey"),
+        audit("nation.n_regionkey -> region", nation, "n_regionkey",
+              region, "r_regionkey"),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("relation")
+
+
+ORACLE_FK_INTEGRITY_AUDIT = """
+SELECT 'lineitem.l_orderkey -> orders' AS relation,
+       (SELECT count(*) FROM lineitem) AS n_child_rows,
+       (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+          (SELECT o_orderkey FROM orders)) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_partkey -> part',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+          (SELECT p_partkey FROM part))
+UNION ALL
+SELECT 'lineitem.l_suppkey -> supplier',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier))
+UNION ALL
+SELECT 'orders.o_custkey -> customer',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+          (SELECT c_custkey FROM customer))
+UNION ALL
+SELECT 'customer.c_nationkey -> nation',
+       (SELECT count(*) FROM customer),
+       (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+          (SELECT n_nationkey FROM nation))
+UNION ALL
+SELECT 'supplier.s_nationkey -> nation',
+       (SELECT count(*) FROM supplier),
+       (SELECT count(*) FROM supplier WHERE s_nationkey NOT IN
+          (SELECT n_nationkey FROM nation))
+UNION ALL
+SELECT 'nation.n_regionkey -> region',
+       (SELECT count(*) FROM nation),
+       (SELECT count(*) FROM nation WHERE n_regionkey NOT IN
+          (SELECT r_regionkey FROM region))
+ORDER BY relation
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5522,6 +5610,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_share_pareto": q_revenue_share_pareto,
     "trending_event_types": q_trending_event_types,
     "winnow_pairs": q_winnow_pairs,
+    "fk_integrity_audit": q_fk_integrity_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -5625,5 +5714,6 @@ ORACLES: dict[str, str] = {
     "revenue_share_pareto": ORACLE_REVENUE_SHARE_PARETO,
     "trending_event_types": ORACLE_TRENDING_EVENT_TYPES,
     "winnow_pairs": ORACLE_WINNOW_PAIRS,
+    "fk_integrity_audit": ORACLE_FK_INTEGRITY_AUDIT,
 }
 
