@@ -87,3 +87,29 @@ def test_bm25_plan_broadcasts_stats_and_df(spark):
     plan = RETR.bm25_scores(docs, TERMS)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_absent_term_is_harmless(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    base = {r["doc_id"]: r["score"]
+            for r in RETR.bm25_scores(docs, TERMS).collect()}
+    with_ghost = {
+        r["doc_id"]: r["score"]
+        for r in RETR.bm25_scores(docs, TERMS + ["zzzabsent"]).collect()
+    }
+    # a term with zero postings adds no contribution to anyone
+    assert with_ghost == base
+
+
+def test_bm25_empty_term_list_returns_nothing(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    assert RETR.bm25_scores(docs, []).collect() == []
+
+
+def test_bm25_length_normalization(spark):
+    # same tf, longer doc -> lower score (the b-weighted dl/avgdl term)
+    rows = [(0, "spark pad"), (1, "spark pad pad pad pad pad pad pad")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    s = {r["doc_id"]: r["score"]
+         for r in RETR.bm25_scores(docs, ["spark"]).collect()}
+    assert s[0] > s[1]
