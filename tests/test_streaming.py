@@ -272,3 +272,38 @@ def test_stream_cms_counters_match_batch_on_duplicated_feed(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (watermarked both sides) produces
+    exactly the batch interval join over the same files."""
+    import shutil
+
+    from high_performance_docling_spark.streaming.joins import (
+        _typed, attribution_join, stream_attribution,
+    )
+
+    src = tmp_path / "events_attr"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "part-0.parquet")
+
+    from high_performance_docling_spark.streaming.dedup import (
+        run_stream_append,
+    )
+
+    streamed = stream_attribution(spark, str(src), window="30 minutes")
+    got = sorted(
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in run_stream_append(streamed, "t_attr").collect()
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    batch = attribution_join(
+        _typed(ev, "click", "c"), _typed(ev, "purchase", "p"),
+        window="30 minutes",
+    )
+    want = sorted(
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in batch.collect()
+    )
+    assert got == want and len(got) > 0
