@@ -5479,6 +5479,98 @@ ORDER BY relation
 """
 
 
+def q_copurchase_pairs(spark, sf_dir):
+    """Market-basket co-occurrence mining: part pairs appearing in the
+    same order, with support and lift. The pair space comes from the
+    order-keyed self-join (baskets are small — C(|basket|,2) pairs per
+    order, never |parts|^2); lift = P(a,b)/(P(a)P(b)) from exact
+    integer counts. Top-20 pairs by support with lift alongside."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    n = items.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    a = items.select(F.col("l_orderkey").alias("o"),
+                     F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("o"),
+                     F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    fa = freq.select(F.col("l_partkey").alias("pa"), F.col("f").alias("fa"))
+    fb = freq.select(F.col("l_partkey").alias("pb"), F.col("f").alias("fb"))
+    scored = (
+        pairs.join(F.broadcast(fa), "pa")
+        .join(F.broadcast(fb), "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa", "pb", "support",
+            (
+                F.round(
+                    F.col("support") * F.col("n_orders") * F.lit(1.0)
+                    / (F.col("fa") * F.col("fb")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("support"), F.asc("pa"), F.asc("pb")
+    ).limit(20)
+    return (
+        top.groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("support")).alias("neg"),
+                        "pa", "pb", "lift",
+                    )
+                )
+            ).alias("arr")
+        )
+        .select(F.posexplode("arr").alias("pos", "r"))
+        .select(
+            (F.col("pos") + 1).alias("rk"),
+            F.col("r.pa").alias("pa"),
+            F.col("r.pb").alias("pb"),
+            (-F.col("r.neg")).cast("bigint").alias("support"),
+            F.col("r.lift").alias("lift"),
+        )
+        .orderBy("rk")
+    )
+
+
+ORACLE_COPURCHASE_PAIRS = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+pairs AS (
+  SELECT x.l_partkey AS pa, y.l_partkey AS pb, count(*) AS support
+  FROM items x JOIN items y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY pa, pb
+),
+freq AS (SELECT l_partkey, count(*) AS f FROM items GROUP BY l_partkey),
+scored AS (
+  SELECT pa, pb, support,
+         round(support * (SELECT n_orders FROM n) * 1.0
+               / (fa.f * fb.f), 6) + 0.0 AS lift
+  FROM pairs
+  JOIN freq fa ON fa.l_partkey = pa
+  JOIN freq fb ON fb.l_partkey = pb
+)
+SELECT rk, pa, pb, support, lift FROM (
+  SELECT *, row_number() OVER (ORDER BY support DESC, pa, pb) AS rk
+  FROM scored
+) WHERE rk <= 20 ORDER BY rk
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5611,6 +5703,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trending_event_types": q_trending_event_types,
     "winnow_pairs": q_winnow_pairs,
     "fk_integrity_audit": q_fk_integrity_audit,
+    "copurchase_pairs": q_copurchase_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -5715,5 +5808,6 @@ ORACLES: dict[str, str] = {
     "trending_event_types": ORACLE_TRENDING_EVENT_TYPES,
     "winnow_pairs": ORACLE_WINNOW_PAIRS,
     "fk_integrity_audit": ORACLE_FK_INTEGRITY_AUDIT,
+    "copurchase_pairs": ORACLE_COPURCHASE_PAIRS,
 }
 
