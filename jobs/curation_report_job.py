@@ -44,11 +44,19 @@ def run_curation_report(spark, sf_dir: str, output: str, batch_id: str) -> dict:
         "outliers": QUERIES["anomaly_mad"](spark, sf_dir),
         "diff": QUERIES["snapshot_diff"](spark, sf_dir),
     }
+    from pyspark.sql import Observation, functions as F
+
     counts = {}
     for section, df in frames.items():
+        # observe() rides the write job itself — the row count comes
+        # from the same action that materializes the section, no
+        # second scan (the modern replacement for re-read-and-count)
+        obs = Observation(f"curation_{section}")
         path = f"{output}/{section}/batch={batch_id}"
-        df.write.mode("overwrite").parquet(path)
-        counts[section] = spark.read.parquet(path).count()
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        counts[section] = int(obs.get["rows"])
     return counts
 
 
