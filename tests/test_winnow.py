@@ -55,3 +55,49 @@ def test_winnowing_density_and_short_docs(spark):
 def test_winnowing_is_deterministic(spark):
     rows = [(1, "the quick brown fox jumps over the lazy dog")]
     assert _fps(spark, rows) == _fps(spark, rows)
+
+
+def _py_winnow(text: str, k: int = K, w: int = W_) -> set[int]:
+    """Independent reference: same md5->int54 hashes, sliding-min."""
+    import hashlib
+
+    t = text.lower().strip()
+    n_pos = len(t) - (k - 1)
+    if n_pos < w:
+        return set()
+    hs = [
+        int(hashlib.md5(t[i:i + k].encode()).hexdigest()[:14], 16)
+        for i in range(n_pos)
+    ]
+    return {min(hs[i:i + w]) for i in range(n_pos - w + 1)}
+
+
+def test_winnow_matches_python_reference(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "sphinx of black quartz judge my vow"),
+        (4, ""),
+    ]
+    got = _fps(spark, rows)
+    for doc_id, text in rows:
+        assert got.get(doc_id, set()) == _py_winnow(text), doc_id
+
+
+def test_winnow_guarantee_property():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.text(alphabet="abcdef", min_size=0, max_size=20),
+        st.text(alphabet="abcdef", min_size=0, max_size=20),
+        st.text(alphabet="ghijkl", min_size=GUARANTEE, max_size=16),
+    )
+    def check(pre, post, shared):
+        # the shared block uses a disjoint alphabet so its k-grams are
+        # unique to it; both docs must share >= 1 fingerprint
+        a = _py_winnow(pre + shared + post)
+        b = _py_winnow("zzz" + shared + "qqq")
+        assert a & b
+
+    check()
