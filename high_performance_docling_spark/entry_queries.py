@@ -5571,6 +5571,75 @@ SELECT rk, pa, pb, support, lift FROM (
 """
 
 
+def q_events_asof_tolerance(spark, sf_dir):
+    """As-of join with a staleness tolerance (pandas merge_asof
+    tolerance= / kdb wj semantics): a purchase only attributes to the
+    latest preceding click if it is at most 10 minutes old — older
+    matches are REJECTED, not silently used. Same single-shuffle
+    union-window asof; the tolerance is one projection on the matched
+    gap. The oracle applies the identical post-ASOF CASE."""
+    from .operators.asof import asof_join
+
+    def build():
+        ev = _t(spark, sf_dir, "events")
+        epoch = F.col("ts").cast("timestamp").cast("double")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts",
+            F.col("event_id").alias("purchase_id"),
+            epoch.alias("p_epoch"),
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts",
+            F.col("event_id").alias("click_id"),
+            epoch.alias("c_epoch"),
+        )
+        joined = asof_join(
+            purchases, clicks, key="user_id", ts="ts",
+            left_cols=["purchase_id", "user_id", "p_epoch"],
+            right_cols=["click_id", "c_epoch"],
+            right_seq="click_id",
+        )
+        gap = F.col("p_epoch") - F.col("asof_c_epoch")
+        fresh = F.col("asof_click_id").isNotNull() & (gap <= 600.0)
+        return joined.select(
+            "purchase_id", "user_id",
+            F.when(fresh, F.col("asof_click_id")).otherwise(F.lit(-1))
+            .alias("click_id"),
+            (
+                F.round(F.when(fresh, gap).otherwise(F.lit(-1.0)), 3)
+                + F.lit(0.0)
+            ).alias("gap_s"),
+            fresh.cast("int").alias("attributed"),
+        ).orderBy("purchase_id")
+
+    return _utc_plan(spark, build)
+
+
+ORACLE_EVENTS_ASOF_TOLERANCE = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id AS click_id,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'
+),
+c AS (SELECT user_id, ts, click_id FROM clicks WHERE rn = 1),
+p AS (SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT p.purchase_id, p.user_id, c.click_id,
+         epoch(p.ts) - epoch(c.ts) AS gap,
+         (c.click_id IS NOT NULL
+          AND epoch(p.ts) - epoch(c.ts) <= 600.0) AS fresh
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT purchase_id, user_id,
+       CASE WHEN fresh THEN click_id ELSE -1 END AS click_id,
+       round(CASE WHEN fresh THEN gap ELSE -1.0 END, 3) + 0.0 AS gap_s,
+       CASE WHEN fresh THEN 1 ELSE 0 END AS attributed
+FROM j ORDER BY purchase_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5704,6 +5773,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_pairs": q_winnow_pairs,
     "fk_integrity_audit": q_fk_integrity_audit,
     "copurchase_pairs": q_copurchase_pairs,
+    "events_asof_tolerance": q_events_asof_tolerance,
 }
 
 ORACLES: dict[str, str] = {
@@ -5809,5 +5879,6 @@ ORACLES: dict[str, str] = {
     "winnow_pairs": ORACLE_WINNOW_PAIRS,
     "fk_integrity_audit": ORACLE_FK_INTEGRITY_AUDIT,
     "copurchase_pairs": ORACLE_COPURCHASE_PAIRS,
+    "events_asof_tolerance": ORACLE_EVENTS_ASOF_TOLERANCE,
 }
 
