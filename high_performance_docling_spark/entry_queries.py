@@ -5640,6 +5640,70 @@ FROM j ORDER BY purchase_id
 """
 
 
+def q_shipping_delay_stats(spark, sf_dir):
+    """Order-to-ship delay distribution per priority (the fulfilment
+    SLA rollup): day-grain date arithmetic (argument order differs
+    between engines — Spark datediff(end, start) vs DuckDB
+    datediff('day', start, end) — pinned here), exact median delay,
+    and the share of >90-day shipments. One fact-fact join + one
+    bounded-key aggregation."""
+    def build():
+        li = _t(spark, sf_dir, "lineitem")
+        orders = _t(spark, sf_dir, "orders")
+        d = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(
+                "o_orderpriority",
+                F.datediff(
+                    F.to_date(F.col("l_shipdate").cast("timestamp")),
+                    F.to_date(F.col("o_orderdate").cast("timestamp")),
+                ).alias("delay_days"),
+            )
+        )
+        return (
+            d.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                (F.round(F.avg("delay_days"), 6) + F.lit(0.0)).alias(
+                    "avg_delay"
+                ),
+                (
+                    F.round(F.expr("percentile(delay_days, 0.5)"), 6)
+                    + F.lit(0.0)
+                ).alias("median_delay"),
+                (
+                    F.round(
+                        F.sum((F.col("delay_days") > 90).cast("int"))
+                        * 1.0
+                        / F.count(F.lit(1)),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("late_rate"),
+            )
+            .orderBy("o_orderpriority")
+        )
+
+    return _utc_plan(spark, build)
+
+
+ORACLE_SHIPPING_DELAY_STATS = """
+WITH d AS (
+  SELECT o_orderpriority,
+         datediff('day', o_orderdate::DATE, l_shipdate::DATE)
+           AS delay_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       round(avg(delay_days), 6) + 0.0 AS avg_delay,
+       round(quantile_cont(delay_days, 0.5), 6) + 0.0 AS median_delay,
+       round(sum(CASE WHEN delay_days > 90 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) + 0.0 AS late_rate
+FROM d GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5774,6 +5838,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fk_integrity_audit": q_fk_integrity_audit,
     "copurchase_pairs": q_copurchase_pairs,
     "events_asof_tolerance": q_events_asof_tolerance,
+    "shipping_delay_stats": q_shipping_delay_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -5880,5 +5945,6 @@ ORACLES: dict[str, str] = {
     "fk_integrity_audit": ORACLE_FK_INTEGRITY_AUDIT,
     "copurchase_pairs": ORACLE_COPURCHASE_PAIRS,
     "events_asof_tolerance": ORACLE_EVENTS_ASOF_TOLERANCE,
+    "shipping_delay_stats": ORACLE_SHIPPING_DELAY_STATS,
 }
 
