@@ -5704,6 +5704,134 @@ FROM d GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+_HLL_PAIRS = [("click", "view"), ("click", "purchase"),
+              ("signup", "error")]
+
+
+def q_hll_intersection(spark, sf_dir):
+    """Sketch ALGEBRA: audience-overlap estimation from HLL registers
+    alone — union by register max-merge (exact on sketches), then
+    intersection by inclusion-exclusion est_a + est_b - est_union.
+    This is the query sketches exist for at 100 TB: per-segment
+    register tables are tiny and mergeable, so ANY pair's overlap is
+    answerable without rescanning the corpus. The exact intersection
+    rides along to expose the IE error (which CAN go negative — the
+    known HLL-IE behavior, visible rather than hidden). Oracle replays
+    registers, merge and both estimate formulas."""
+    from .operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events")
+    reg, rho = SK.hll_reg_rho(F.col("user_id"))
+    regs = (
+        ev.select("event_type", reg, rho)
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    est = SK.hll_estimate_from_registers(regs, ["event_type"])
+    pairs = spark.createDataFrame(_HLL_PAIRS, ["type_a", "type_b"])
+    uregs = (
+        pairs.join(
+            regs,
+            (regs.event_type == pairs.type_a)
+            | (regs.event_type == pairs.type_b),
+        )
+        .groupBy("type_a", "type_b", "reg")
+        .agg(F.max("mx").alias("mx"))
+    )
+    uest = SK.hll_estimate_from_registers(
+        uregs, ["type_a", "type_b"]
+    ).select(
+        "type_a", "type_b", F.col("hll_estimate").alias("est_union")
+    )
+    ea = est.select(F.col("event_type").alias("type_a"),
+                    F.col("hll_estimate").alias("est_a"))
+    eb = est.select(F.col("event_type").alias("type_b"),
+                    F.col("hll_estimate").alias("est_b"))
+    users = ev.select("event_type", "user_id").distinct()
+    xa = users.select(F.col("event_type").alias("type_a"), "user_id")
+    xb = users.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        pairs.join(xa, "type_a")
+        .join(xb, ["type_b", "user_id"])
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    return (
+        pairs.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .join(F.broadcast(uest), ["type_a", "type_b"])
+        .join(F.broadcast(exact), ["type_a", "type_b"])
+        .select(
+            "type_a", "type_b", "est_a", "est_b", "est_union",
+            (
+                F.round(
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("est_inter"),
+            "exact_inter",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_HLL_EST_SQL = """round(CASE WHEN (0.709 * 4096.0) / (s + (64 - n)) <= 160.0
+                   AND n < 64
+              THEN 64.0 * ln(64.0 / (64 - n))
+              ELSE (0.709 * 4096.0) / (s + (64 - n)) END, 4)"""
+
+_HLL_PAIR_VALUES = ", ".join(f"('{a}', '{b}')" for a, b in _HLL_PAIRS)
+
+ORACLE_HLL_INTERSECTION = f"""
+WITH hx AS (
+  SELECT event_type,
+         ('0x' || substr(md5('hll:' || user_id), 1, 13))::BIGINT AS h
+  FROM events
+),
+regs AS (
+  SELECT event_type, h % 64 AS reg,
+         max(CASE WHEN h // 64 = 0 THEN 47
+                  ELSE 47 - length(bin(h // 64)) END) AS mx
+  FROM hx GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, sum(pow(2.0, -mx)) AS s, count(*) AS n
+  FROM regs GROUP BY 1
+),
+est AS (SELECT event_type, {_HLL_EST_SQL} AS e FROM agg),
+pairs(type_a, type_b) AS (VALUES {_HLL_PAIR_VALUES}),
+uregs AS (
+  SELECT p.type_a, p.type_b, r.reg, max(r.mx) AS mx
+  FROM pairs p JOIN regs r ON r.event_type IN (p.type_a, p.type_b)
+  GROUP BY 1, 2, 3
+),
+uagg AS (
+  SELECT type_a, type_b, sum(pow(2.0, -mx)) AS s, count(*) AS n
+  FROM uregs GROUP BY 1, 2
+),
+uest AS (SELECT type_a, type_b, {_HLL_EST_SQL} AS eu FROM uagg),
+du AS (SELECT DISTINCT event_type, user_id FROM events),
+exact AS (
+  SELECT p.type_a, p.type_b, count(*) AS exact_inter
+  FROM pairs p
+  JOIN du a ON a.event_type = p.type_a
+  JOIN du b ON b.event_type = p.type_b AND b.user_id = a.user_id
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, ea.e AS est_a, eb.e AS est_b,
+       u.eu AS est_union,
+       round(ea.e + eb.e - u.eu, 4) + 0.0 AS est_inter,
+       x.exact_inter
+FROM pairs p
+JOIN est ea ON ea.event_type = p.type_a
+JOIN est eb ON eb.event_type = p.type_b
+JOIN uest u ON u.type_a = p.type_a AND u.type_b = p.type_b
+JOIN exact x ON x.type_a = p.type_a AND x.type_b = p.type_b
+ORDER BY p.type_a, p.type_b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5839,6 +5967,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_pairs": q_copurchase_pairs,
     "events_asof_tolerance": q_events_asof_tolerance,
     "shipping_delay_stats": q_shipping_delay_stats,
+    "hll_intersection": q_hll_intersection,
 }
 
 ORACLES: dict[str, str] = {
@@ -5946,5 +6075,6 @@ ORACLES: dict[str, str] = {
     "copurchase_pairs": ORACLE_COPURCHASE_PAIRS,
     "events_asof_tolerance": ORACLE_EVENTS_ASOF_TOLERANCE,
     "shipping_delay_stats": ORACLE_SHIPPING_DELAY_STATS,
+    "hll_intersection": ORACLE_HLL_INTERSECTION,
 }
 
