@@ -60,3 +60,36 @@ def run_stream_once(agg: DataFrame, query_name: str = "stream_out") -> DataFrame
     finally:
         q.stop()
     return agg.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_session_windows(
+    spark: SparkSession, source_dir: str, gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """NATIVE session windows (F.session_window) — the built-in
+    gap-merging aggregation, complementing sessions.py's
+    applyInPandasWithState custom sessionizer: use the native form
+    whenever plain per-session aggregates suffice (it keeps the whole
+    operator JVM-side); the custom form exists for session logic the
+    built-in can't express. State is bounded by the watermark: a
+    session closes once no event can extend it."""
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(source_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events", "session_value",
+        )
+    )

@@ -307,3 +307,58 @@ def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
         for r in batch.collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_native_session_windows_match_batch(spark, tmp_path):
+    """Native session_window streamed == batch session_window over the
+    same files, and both agree with the gap semantics of the custom
+    sessionizer (same session count per user for the same gap)."""
+    import shutil
+
+    from high_performance_docling_spark.streaming.windows import (
+        stream_session_windows,
+    )
+
+    src = tmp_path / "events_sw"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "part-0.parquet")
+
+    got = sorted(
+        map(str, run_stream_once(
+            stream_session_windows(spark, str(src), gap="30 minutes"),
+            "t_sw",
+        ).collect())
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events", "session_value",
+        )
+    )
+    want = sorted(map(str, batch.collect()))
+    assert got == want and len(got) > 0
+    # session COUNT per user agrees with the 30-min-gap cumsum
+    # sessionizer (same gap semantics, different machinery)
+    from high_performance_docling_spark.entry_queries import QUERIES
+
+    sess = QUERIES["sessionize_events"](spark, SF)
+    want_counts = {
+        r["user_id"]: r["n"]
+        for r in sess.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got_counts: dict[int, int] = {}
+    for row in batch.select("user_id").collect():
+        got_counts[row["user_id"]] = got_counts.get(row["user_id"], 0) + 1
+    assert got_counts == want_counts
