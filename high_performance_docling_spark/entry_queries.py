@@ -5832,6 +5832,101 @@ ORDER BY p.type_a, p.type_b
 """
 
 
+def q_user_set_ops(spark, sf_dir):
+    """Relational set operations (INTERSECT / EXCEPT — the audience
+    segmentation idiom): high-value (>180) purchasers who also clicked
+    high-value but never errored high-value. DataFrame intersect() /
+    subtract() plan as hash semi/anti aggregations — no join written
+    by hand; the oracle uses the SQL set operators verbatim. (The
+    unthresholded variant is degenerate on this synthetic corpus:
+    every user produces every event type.)"""
+    ev = _t(spark, sf_dir, "events")
+
+    def users(etype):
+        return ev.filter(
+            (F.col("event_type") == etype) & (F.col("value") > 180.0)
+        ).select("user_id")
+
+    return (
+        users("purchase")
+        .intersect(users("click"))
+        .subtract(users("error"))
+        .orderBy("user_id")
+    )
+
+
+ORACLE_USER_SET_OPS = """
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 180
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'click' AND value > 180
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 180
+ORDER BY user_id
+"""
+
+
+def q_value_percentile_ranks(spark, sf_dir):
+    """Distribution-position window functions (percent_rank +
+    cume_dist) per event type — the per-partition analytics pair next
+    to quality_tiers' broadcast-cut global tiering. Partitions are the
+    5 event types (bounded), so the window never funnels the corpus
+    through one task. Report = per-type decile rows (value at each
+    percent_rank decile boundary) to keep the output small."""
+    def build():
+        ev = _t(spark, sf_dir, "events")
+        w = W.partitionBy("event_type").orderBy("value", "event_id")
+        ranked = ev.select(
+            "event_type", "event_id",
+            (F.round("value", 6) + F.lit(0.0)).alias("value"),
+            (F.round(F.percent_rank().over(w), 6) + F.lit(0.0)).alias("pr"),
+            (F.round(F.cume_dist().over(w), 6) + F.lit(0.0)).alias("cd"),
+        )
+        # decile boundary rows: smallest row with pr >= d/10 per decile
+        deciles = F.explode(
+            F.array(*[F.lit(i / 10.0) for i in range(10)])
+        ).alias("decile")
+        cand = ranked.crossJoin(
+            F.broadcast(spark.range(1).select(deciles))
+        ).filter(F.col("pr") >= F.col("decile"))
+        wmin = W.partitionBy("event_type", "decile").orderBy(
+            "pr", "event_id"
+        )
+        return (
+            cand.withColumn("rn", F.row_number().over(wmin))
+            .filter(F.col("rn") == 1)
+            .select("event_type",
+                    (F.round("decile", 1) + F.lit(0.0)).alias("decile"),
+                    "value", "pr", "cd")
+            .orderBy("event_type", "decile")
+        )
+
+    return _utc_plan(spark, build)
+
+
+ORACLE_VALUE_PERCENTILE_RANKS = """
+WITH ranked AS (
+  SELECT event_type, event_id,
+         round(value, 6) + 0.0 AS value,
+         round(percent_rank() OVER w, 6) + 0.0 AS pr,
+         round(cume_dist() OVER w, 6) + 0.0 AS cd
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+),
+cand AS (
+  SELECT r.*, d.decile
+  FROM ranked r, (SELECT unnest([0.0, 0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9]) AS decile) d
+  WHERE r.pr >= d.decile
+)
+SELECT event_type, round(decile, 1) + 0.0 AS decile, value, pr, cd
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type, decile
+                               ORDER BY pr, event_id) AS rn
+  FROM cand
+) WHERE rn = 1 ORDER BY event_type, decile
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5968,6 +6063,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_tolerance": q_events_asof_tolerance,
     "shipping_delay_stats": q_shipping_delay_stats,
     "hll_intersection": q_hll_intersection,
+    "user_set_ops": q_user_set_ops,
+    "value_percentile_ranks": q_value_percentile_ranks,
 }
 
 ORACLES: dict[str, str] = {
@@ -6076,5 +6173,7 @@ ORACLES: dict[str, str] = {
     "events_asof_tolerance": ORACLE_EVENTS_ASOF_TOLERANCE,
     "shipping_delay_stats": ORACLE_SHIPPING_DELAY_STATS,
     "hll_intersection": ORACLE_HLL_INTERSECTION,
+    "user_set_ops": ORACLE_USER_SET_OPS,
+    "value_percentile_ranks": ORACLE_VALUE_PERCENTILE_RANKS,
 }
 
