@@ -5927,6 +5927,46 @@ FROM (
 """
 
 
+def q_grouping_sets_events(spark, sf_dir):
+    """Non-hierarchical GROUPING SETS — the shape ROLLUP can't express:
+    independent marginals {(event_type), (iso_dow), ()} from ONE pass
+    (Catalyst plans an Expand, one row per set per input row) instead
+    of three scans. Labels use the 'ALL'/-1 convention (keys are never
+    null) and counts are pure integers."""
+    def build():
+        ev = _t(spark, sf_dir, "events")
+        ts = F.col("ts").cast("timestamp")
+        isodow = ((F.dayofweek(ts) + 5) % 7 + 1).alias("iso_dow")
+        base = ev.select("event_type", isodow, "value")
+        # Spark's DataFrame API exposes cube/rollup but not arbitrary
+        # grouping sets — use the SQL form (same engine path)
+        base.createOrReplaceTempView("_gs_events")
+        return spark.sql(
+            """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(iso_dow, -1) AS iso_dow,
+                   count(*) AS n_events,
+                   round(sum(round(value, 6)), 2) + 0.0 AS total_value
+            FROM _gs_events
+            GROUP BY GROUPING SETS ((event_type), (iso_dow), ())
+            ORDER BY event_type, iso_dow
+            """
+        )
+
+    return _utc_plan(spark, build)
+
+
+ORACLE_GROUPING_SETS_EVENTS = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(iso_dow, -1) AS iso_dow,
+       count(*) AS n_events,
+       round(sum(round(value, 6)), 2) + 0.0 AS total_value
+FROM (SELECT event_type, isodow(ts) AS iso_dow, value FROM events)
+GROUP BY GROUPING SETS ((event_type), (iso_dow), ())
+ORDER BY event_type, iso_dow
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6065,6 +6105,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_intersection": q_hll_intersection,
     "user_set_ops": q_user_set_ops,
     "value_percentile_ranks": q_value_percentile_ranks,
+    "grouping_sets_events": q_grouping_sets_events,
 }
 
 ORACLES: dict[str, str] = {
@@ -6175,5 +6216,6 @@ ORACLES: dict[str, str] = {
     "hll_intersection": ORACLE_HLL_INTERSECTION,
     "user_set_ops": ORACLE_USER_SET_OPS,
     "value_percentile_ranks": ORACLE_VALUE_PERCENTILE_RANKS,
+    "grouping_sets_events": ORACLE_GROUPING_SETS_EVENTS,
 }
 
