@@ -5967,6 +5967,46 @@ ORDER BY event_type, iso_dow
 """
 
 
+def q_value_k_correlation(spark, sf_dir):
+    """Statistical co-moment aggregates (Pearson corr + sample
+    covariance) between the event value and its JSON payload's k,
+    per event type — the feature-relationship screen a pipeline runs
+    before trusting a signal. Both engines accumulate co-moments
+    internally (single-pass, map-side combinable); results round to 4
+    with the -0.0 guard (correlations near zero round INTO -0.0)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    return (
+        ev.select("event_type", "value", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.corr("value", "k"), 4) + F.lit(0.0)).alias("corr_vk"),
+            (F.round(F.covar_samp("value", "k"), 4) + F.lit(0.0)).alias(
+                "covar_vk"
+            ),
+            (F.round(F.stddev_samp("value"), 4) + F.lit(0.0)).alias(
+                "sd_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_VALUE_K_CORRELATION = """
+WITH x AS (
+  SELECT event_type, value,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       round(corr(value, k), 4) + 0.0 AS corr_vk,
+       round(covar_samp(value, k), 4) + 0.0 AS covar_vk,
+       round(stddev_samp(value), 4) + 0.0 AS sd_value
+FROM x GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6106,6 +6146,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_set_ops": q_user_set_ops,
     "value_percentile_ranks": q_value_percentile_ranks,
     "grouping_sets_events": q_grouping_sets_events,
+    "value_k_correlation": q_value_k_correlation,
 }
 
 ORACLES: dict[str, str] = {
@@ -6217,5 +6258,6 @@ ORACLES: dict[str, str] = {
     "user_set_ops": ORACLE_USER_SET_OPS,
     "value_percentile_ranks": ORACLE_VALUE_PERCENTILE_RANKS,
     "grouping_sets_events": ORACLE_GROUPING_SETS_EVENTS,
+    "value_k_correlation": ORACLE_VALUE_K_CORRELATION,
 }
 
