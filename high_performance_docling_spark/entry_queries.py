@@ -6007,6 +6007,62 @@ FROM x GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_winsorized_means(spark, sf_dir):
+    """Winsorized mean per event type (the robust-mean estimator next
+    to anomaly_mad's outlier flags): clip values at the exact p05/p95
+    percentiles (computed once per type, broadcast back), then average
+    the clipped values. Both the plain and winsorized means ship so
+    the tail influence is visible. Percentile cuts round to 6 before
+    clipping on both engines; means round to 4."""
+    ev = _t(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        (F.round(F.expr("percentile(value, 0.05)"), 6) + F.lit(0.0)).alias(
+            "lo"
+        ),
+        (F.round(F.expr("percentile(value, 0.95)"), 6) + F.lit(0.0)).alias(
+            "hi"
+        ),
+    )
+    clipped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type", "value",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "wv"
+        ),
+        "lo", "hi",
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.avg("value"), 4) + F.lit(0.0)).alias("mean_raw"),
+            (F.round(F.avg("wv"), 4) + F.lit(0.0)).alias("mean_winsor"),
+            F.first("lo").alias("p05"),
+            F.first("hi").alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_WINSORIZED_MEANS = """
+WITH cuts AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.05), 6) + 0.0 AS lo,
+         round(quantile_cont(value, 0.95), 6) + 0.0 AS hi
+  FROM events GROUP BY event_type
+),
+clipped AS (
+  SELECT e.event_type, e.value,
+         least(greatest(e.value, c.lo), c.hi) AS wv, c.lo, c.hi
+  FROM events e JOIN cuts c USING (event_type)
+)
+SELECT event_type, count(*) AS n,
+       round(avg(value), 4) + 0.0 AS mean_raw,
+       round(avg(wv), 4) + 0.0 AS mean_winsor,
+       min(lo) AS p05, min(hi) AS p95
+FROM clipped GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6147,6 +6203,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_percentile_ranks": q_value_percentile_ranks,
     "grouping_sets_events": q_grouping_sets_events,
     "value_k_correlation": q_value_k_correlation,
+    "winsorized_means": q_winsorized_means,
 }
 
 ORACLES: dict[str, str] = {
@@ -6259,5 +6316,6 @@ ORACLES: dict[str, str] = {
     "value_percentile_ranks": ORACLE_VALUE_PERCENTILE_RANKS,
     "grouping_sets_events": ORACLE_GROUPING_SETS_EVENTS,
     "value_k_correlation": ORACLE_VALUE_K_CORRELATION,
+    "winsorized_means": ORACLE_WINSORIZED_MEANS,
 }
 
