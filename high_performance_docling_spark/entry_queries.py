@@ -6063,6 +6063,55 @@ FROM clipped GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_daily_counts_dense(spark, sf_dir):
+    """Gap-filled daily event counts (the dense-time-series contract
+    every reporting layer needs: days with NO events must appear as
+    zeros, or downstream moving averages silently skip them): a date
+    spine from sequence(min_day, max_day) exploded once, left-joined
+    to the daily rollup, nulls filled with 0. The spine is bounded by
+    the date RANGE, never the event count."""
+    def build():
+        ev = _t(spark, sf_dir, "events")
+        day = F.to_date(F.col("ts").cast("timestamp"))
+        daily = ev.select(day.alias("day")).groupBy("day").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        bounds = ev.agg(
+            F.min(day).alias("lo"), F.max(day).alias("hi")
+        )
+        spine = bounds.select(
+            F.explode(F.sequence("lo", "hi")).alias("day")
+        )
+        return (
+            spine.join(daily, "day", "left")
+            .select(
+                F.date_format("day", "yyyy-MM-dd").alias("day"),
+                F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+                (F.col("n").isNull()).cast("int").alias("is_gap"),
+            )
+            .orderBy("day")
+        )
+
+    return _utc_plan(spark, build)
+
+
+ORACLE_DAILY_COUNTS_DENSE = """
+WITH daily AS (
+  SELECT ts::DATE AS day, count(*) AS n FROM events GROUP BY day
+),
+bounds AS (SELECT min(ts::DATE) AS lo, max(ts::DATE) AS hi FROM events),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       coalesce(d.n, 0)::BIGINT AS n_events,
+       CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM spine s LEFT JOIN daily d ON d.day = s.day
+ORDER BY day
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6204,6 +6253,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets_events": q_grouping_sets_events,
     "value_k_correlation": q_value_k_correlation,
     "winsorized_means": q_winsorized_means,
+    "daily_counts_dense": q_daily_counts_dense,
 }
 
 ORACLES: dict[str, str] = {
@@ -6317,5 +6367,6 @@ ORACLES: dict[str, str] = {
     "grouping_sets_events": ORACLE_GROUPING_SETS_EVENTS,
     "value_k_correlation": ORACLE_VALUE_K_CORRELATION,
     "winsorized_means": ORACLE_WINSORIZED_MEANS,
+    "daily_counts_dense": ORACLE_DAILY_COUNTS_DENSE,
 }
 
