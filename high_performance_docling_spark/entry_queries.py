@@ -6112,6 +6112,73 @@ ORDER BY day
 """
 
 
+def q_rolling_daily_avg(spark, sf_dir):
+    """7-day rolling average of daily counts per event type over the
+    GAP-FILLED series (composing the date-spine densification with a
+    type-partitioned ROWS frame — on a sparse series the same frame
+    would silently average over 7 EVENTFUL days, not 7 calendar days).
+    Windows partition on the bounded type key; integer counts make the
+    7-addend mean exact before its single rounding."""
+    def build():
+        ev = _t(spark, sf_dir, "events")
+        day = F.to_date(F.col("ts").cast("timestamp"))
+        daily = (
+            ev.select("event_type", day.alias("day"))
+            .groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        bounds = ev.agg(F.min(day).alias("lo"), F.max(day).alias("hi"))
+        types = ev.select("event_type").distinct()
+        spine = types.crossJoin(F.broadcast(bounds)).select(
+            "event_type", F.explode(F.sequence("lo", "hi")).alias("day")
+        )
+        dense = spine.join(daily, ["event_type", "day"], "left").select(
+            "event_type", "day",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        )
+        w = (
+            W.partitionBy("event_type")
+            .orderBy("day")
+            .rowsBetween(-6, W.currentRow)
+        )
+        return dense.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            (F.round(F.avg("n").over(w), 6) + F.lit(0.0)).alias("avg_7d"),
+            F.count(F.lit(1)).over(w).alias("window_days"),
+        ).orderBy("event_type", "day")
+
+    return _utc_plan(spark, build)
+
+
+ORACLE_ROLLING_DAILY_AVG = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, count(*) AS n
+  FROM events GROUP BY event_type, day
+),
+bounds AS (SELECT min(ts::DATE) AS lo, max(ts::DATE) AS hi FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+spine AS (
+  SELECT t.event_type,
+         unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY))::DATE AS day
+  FROM types t CROSS JOIN bounds b
+),
+dense AS (
+  SELECT s.event_type, s.day, coalesce(d.n, 0)::BIGINT AS n
+  FROM spine s
+  LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = s.day
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+       round(avg(n) OVER w, 6) + 0.0 AS avg_7d,
+       count(*) OVER w AS window_days
+FROM dense
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY event_type, day
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6254,6 +6321,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_k_correlation": q_value_k_correlation,
     "winsorized_means": q_winsorized_means,
     "daily_counts_dense": q_daily_counts_dense,
+    "rolling_daily_avg": q_rolling_daily_avg,
 }
 
 ORACLES: dict[str, str] = {
@@ -6368,5 +6436,6 @@ ORACLES: dict[str, str] = {
     "value_k_correlation": ORACLE_VALUE_K_CORRELATION,
     "winsorized_means": ORACLE_WINSORIZED_MEANS,
     "daily_counts_dense": ORACLE_DAILY_COUNTS_DENSE,
+    "rolling_daily_avg": ORACLE_ROLLING_DAILY_AVG,
 }
 
