@@ -303,6 +303,7 @@ class TypesetPage:
 # typeset list markers split into their own cell ("- " excluded: a bare
 # "-" cell would trip sanitize's hyphen-join and glue onto the body)
 _MARKER_SPLIT = re.compile(r"^([*•]|\d+\.)\s(.+)$")
+_MARKER_ONLY = re.compile(r"[*•]|\d+\.")
 
 
 def _line_width(text: str, col_w: float, is_last: bool, rng: random.Random) -> float:
@@ -363,27 +364,52 @@ def typeset(doc_id: str, spans: list[dict[str, Any]], cfg: GenConfig) -> list[Ty
             else:
                 run = 0
 
+    # memoized per-span derived data: pure functions of (spans, marker),
+    # recomputed otherwise on every placement attempt / column retry
+    _rl_cache: dict[int, list[str]] = {}
+    _bh_cache: dict[int, float] = {}
+    _grid_cache: dict[int, list[list[str]]] = {}
+
     def rendered_lines(ix: int) -> list[str]:
-        """Span text → typeset lines (list items carry the doc marker)."""
-        sp = spans[ix]
-        lines = sp["text"].split("\n")
-        if marker and sp["kind"] == L.LIST_ITEM:
-            m = f"{list_number[ix]}. " if marker == "1." else marker
-            lines = [m + lines[0]] + lines[1:]
+        """Span text → typeset lines (list items carry the doc marker).
+        Cached: callers only read/slice the list (el.lines is write-only
+        downstream), so sharing one list per span is safe."""
+        lines = _rl_cache.get(ix)
+        if lines is None:
+            sp = spans[ix]
+            lines = sp["text"].split("\n")
+            if marker and sp["kind"] == L.LIST_ITEM:
+                m = f"{list_number[ix]}. " if marker == "1." else marker
+                lines = [m + lines[0]] + lines[1:]
+            _rl_cache[ix] = lines
         return lines
+
+    def grid_rows_of(ix: int) -> list[list[str]]:
+        rows = _grid_cache.get(ix)
+        if rows is None:
+            rows = [r.split("\t") for r in spans[ix]["text"].split("\n")]
+            _grid_cache[ix] = rows
+        return rows
+
+    def _span_height(ix: int) -> float:
+        h = _bh_cache.get(ix)
+        if h is None:
+            sp = spans[ix]
+            if sp["kind"] == L.TABLE:
+                h = len(sp["text"].split("\n")) * 16.0 + 8.0
+            elif sp["kind"] == L.PICTURE:
+                h = 90.0
+            elif sp["media_ref"].startswith("scan:"):
+                h = int(sp["media_ref"][5:]) * LEADING
+            else:
+                h = len(sp["text"].split("\n")) * LEADING
+            _bh_cache[ix] = h
+        return h
 
     def block_height(group: list[int], col_w: float) -> float:
         h = 0.0
         for k, ix in enumerate(group):
-            sp = spans[ix]
-            if sp["kind"] == L.TABLE:
-                h += len(sp["text"].split("\n")) * 16.0 + 8.0
-            elif sp["kind"] == L.PICTURE:
-                h += 90.0
-            elif sp["media_ref"].startswith("scan:"):
-                h += int(sp["media_ref"][5:]) * LEADING
-            else:
-                h += len(sp["text"].split("\n")) * LEADING
+            h += _span_height(ix)
             if k + 1 < len(group):
                 h += ATTACH_GAP
         return h
@@ -400,7 +426,7 @@ def typeset(doc_id: str, spans: list[dict[str, Any]], cfg: GenConfig) -> list[Ty
                 page.elements.append(el)
                 y += h
             elif kind == L.TABLE:
-                grid_rows = [r.split("\t") for r in sp["text"].split("\n")]
+                grid_rows = grid_rows_of(ix)
                 n_rows = len(grid_rows)
                 n_cols = max(len(r) for r in grid_rows)
                 cw, rh = col_w / n_cols, 16.0
@@ -700,7 +726,7 @@ def synth_detections(
             noise
             and el.label == L.LIST_ITEM
             and len(el.cell_ixs) >= 2
-            and re.fullmatch(r"[*•]|\d+\.", page.cells[el.cell_ixs[0]]["text"])
+            and _MARKER_ONLY.fullmatch(page.cells[el.cell_ixs[0]]["text"])
             and rng.random() < 0.2
         ):
             mc = page.cells[el.cell_ixs[0]]

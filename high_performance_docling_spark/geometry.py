@@ -76,18 +76,27 @@ def pairwise_overlap_mask(
     boxes never overlap; the diagonal is False.
     """
     boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
-    n = boxes.shape[0]
-    inter = intersection_area(boxes, boxes)
-    ar = area(boxes)
+    l, t, r, b = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    # fused intersection_area(boxes, boxes): reuse iw as the inter buffer
+    iw = np.minimum(r[:, None], r[None, :]) - np.maximum(l[:, None], l[None, :])
+    ih = np.minimum(b[:, None], b[None, :]) - np.maximum(t[:, None], t[None, :])
+    np.clip(iw, 0.0, None, out=iw)
+    np.clip(ih, 0.0, None, out=ih)
+    inter = iw
+    inter *= ih
+    ar = np.clip(r - l, 0.0, None) * np.clip(b - t, 0.0, None)
     ovlp_thr = overlap_threshold - epsilon
     cont_thr = containment_threshold - epsilon
-    with np.errstate(divide="ignore", invalid="ignore"):
-        cont_a = np.where(ar[:, None] > 0.0, inter / np.maximum(ar[:, None], 1e-300), 0.0)
-        cont_b = np.where(ar[None, :] > 0.0, inter / np.maximum(ar[None, :], 1e-300), 0.0)
-        denom = ar[:, None] + ar[None, :] - inter
-        iou = np.where(denom > 0.0, inter / np.maximum(denom, 1e-300), 0.0)
+    # Denominators are clamped to >= 1e-300, so the divisions are exact
+    # where area > 0 and never raise; zero-area lanes compute garbage-free
+    # zeros (inter is 0 there) and are masked out below anyway — identical
+    # results to the guarded np.where form, without the errstate overhead.
+    cont_a = inter / np.maximum(ar[:, None], 1e-300)
+    cont_b = inter / np.maximum(ar[None, :], 1e-300)
+    iou = inter / np.maximum(ar[:, None] + ar[None, :] - inter, 1e-300)
     mask = (iou >= ovlp_thr) | (cont_a >= cont_thr) | (cont_b >= cont_thr)
-    mask &= (ar[:, None] > 0.0) & (ar[None, :] > 0.0)
+    pos = ar > 0.0
+    mask &= pos[:, None] & pos[None, :]
     np.fill_diagonal(mask, False)
     return mask
 
@@ -121,7 +130,11 @@ def union_find_groups(n: int, edges: np.ndarray) -> list[list[int]]:
             parent[x], x = root, parent[x]
         return root
 
-    for i, j in np.asarray(edges, dtype=np.int64).reshape(-1, 2):
+    # plain-int iteration: numpy row iteration pays an array-scalar box
+    # per element; lists of pairs pass through unchanged
+    if not isinstance(edges, list):
+        edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2).tolist()
+    for i, j in edges:
         ri, rj = find(int(i)), find(int(j))
         if ri != rj:
             parent[max(ri, rj)] = min(ri, rj)

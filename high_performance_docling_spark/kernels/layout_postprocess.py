@@ -37,6 +37,7 @@ reference's DOCLING_GPU_COMPAT_MODE (:339-340).
 from __future__ import annotations
 
 import sys
+from operator import itemgetter as _itemgetter
 from typing import Any
 
 import numpy as np
@@ -67,19 +68,32 @@ def _box(c: dict[str, Any]) -> tuple[float, float, float, float]:
 
 
 def _area(c: dict[str, Any]) -> float:
-    return max(0.0, c["r"] - c["l"]) * max(0.0, c["b"] - c["t"])
+    w = c["r"] - c["l"]
+    h = c["b"] - c["t"]
+    return (w if w > 0.0 else 0.0) * (h if h > 0.0 else 0.0)
 
 
 def _ios(inner: dict[str, Any], outer: dict[str, Any]) -> float:
     """intersection_over_self(inner): inter area / area(inner)."""
-    a = _area(inner)
-    if a <= 0.0:
+    il = inner["l"]
+    it = inner["t"]
+    ir = inner["r"]
+    ib = inner["b"]
+    w = ir - il
+    h = ib - it
+    if w <= 0.0 or h <= 0.0:
         return 0.0
-    iw = min(inner["r"], outer["r"]) - max(inner["l"], outer["l"])
-    ih = min(inner["b"], outer["b"]) - max(inner["t"], outer["t"])
-    if iw <= 0.0 or ih <= 0.0:
+    ol = outer["l"]
+    ot = outer["t"]
+    orr = outer["r"]
+    ob = outer["b"]
+    iw = (orr if orr < ir else ir) - (ol if ol > il else il)
+    if iw <= 0.0:
         return 0.0
-    return (iw * ih) / a
+    ih = (ob if ob < ib else ib) - (ot if ot > it else it)
+    if ih <= 0.0:
+        return 0.0
+    return (iw * ih) / (w * h)
 
 
 def _dedup_cells(cells: list[dict]) -> list[dict]:
@@ -93,12 +107,16 @@ def _dedup_cells(cells: list[dict]) -> list[dict]:
     return out
 
 
+_CELL_INDEX_KEY = _itemgetter("index")
+_CLUSTER_ID_KEY = _itemgetter("first_cell_index", "t", "l")
+
+
 def _sort_cells(cells: list[dict]) -> list[dict]:
-    return sorted(cells, key=lambda c: c["index"])
+    return sorted(cells, key=_CELL_INDEX_KEY)
 
 
 def _sort_clusters_id(clusters: list[dict]) -> list[dict]:
-    return sorted(clusters, key=lambda c: (c["first_cell_index"], c["t"], c["l"]))
+    return sorted(clusters, key=_CLUSTER_ID_KEY)
 
 
 def sort_clusters(clusters: list[dict], mode: str = "id") -> list[dict]:
@@ -112,9 +130,9 @@ def sort_clusters(clusters: list[dict], mode: str = "id") -> list[dict]:
     if mode == "id":
         return _sort_clusters_id(clusters)
     if mode == "tblr":
-        return sorted(clusters, key=lambda c: (c["t"], c["l"]))
+        return sorted(clusters, key=_itemgetter("t", "l"))
     if mode == "lrtb":
-        return sorted(clusters, key=lambda c: (c["l"], c["t"]))
+        return sorted(clusters, key=_itemgetter("l", "t"))
     return clusters
 
 
@@ -135,13 +153,17 @@ def postfilter_detections(
     for d in dets:
         if d["label"] in blacklist or d["confidence"] < base_threshold:
             continue
+        l = d["l"]
+        t = d["t"]
+        r = d["r"]
+        b = d["b"]
         out.append(
             {
                 **d,
-                "l": min(page_w, max(0.0, d["l"])),
-                "t": min(page_h, max(0.0, d["t"])),
-                "r": min(page_w, max(0.0, d["r"])),
-                "b": min(page_h, max(0.0, d["b"])),
+                "l": 0.0 if l < 0.0 else (page_w if l > page_w else l),
+                "t": 0.0 if t < 0.0 else (page_h if t > page_h else t),
+                "r": 0.0 if r < 0.0 else (page_w if r > page_w else r),
+                "b": 0.0 if b < 0.0 else (page_h if b > page_h else b),
             }
         )
     return out
@@ -155,9 +177,9 @@ def stable_sort_detections(dets: list[dict]) -> list[dict]:
     order deterministic across batch layouts before post-processing."""
     out = list(dets)
     for key in ("b", "r", "t", "l"):  # reversed key order, stable
-        out.sort(key=lambda d: d[key])
-    out.sort(key=lambda d: -d["confidence"])
-    out.sort(key=lambda d: d["label"])
+        out.sort(key=_itemgetter(key))
+    out.sort(key=_itemgetter("confidence"), reverse=True)
+    out.sort(key=_itemgetter("label"))
     return out
 
 
@@ -178,6 +200,49 @@ def _should_prefer(candidate: dict, other: dict, params: dict) -> bool:
 
 
 _BIG_GROUP = 64
+_DENSE_NUMPY_CUTOVER = 96  # below this, the pure-Python pair loop wins
+
+
+def _overlap_edges_py(
+    clusters: list[dict], ovlp_thr: float, cont_thr: float
+) -> list[tuple[int, int]]:
+    """i<j overlap edges by direct pair scan — semantically identical to
+    ``argwhere(triu(pairwise_overlap_mask(...), 1))``: same float
+    divisions (denominators only used when > 0), same >= comparisons,
+    zero-area boxes excluded, ascending (i, j) order."""
+    n = len(clusters)
+    geom = []
+    for c in clusters:
+        l = c["l"]
+        t = c["t"]
+        r = c["r"]
+        b = c["b"]
+        w = r - l
+        h = b - t
+        geom.append((l, t, r, b, (w if w > 0.0 else 0.0) * (h if h > 0.0 else 0.0)))
+    edges: list[tuple[int, int]] = []
+    for i in range(n - 1):
+        li, ti, ri, bi, ai = geom[i]
+        if ai <= 0.0:
+            continue
+        for j in range(i + 1, n):
+            lj, tj, rj, bj, aj = geom[j]
+            if aj <= 0.0:
+                continue
+            iw = (ri if ri < rj else rj) - (li if li > lj else lj)
+            if iw <= 0.0:
+                continue
+            ih = (bi if bi < bj else bj) - (ti if ti > tj else tj)
+            if ih <= 0.0:
+                continue
+            inter = iw * ih
+            if (
+                inter / ai >= cont_thr
+                or inter / aj >= cont_thr
+                or inter / (ai + aj - inter) >= ovlp_thr
+            ):
+                edges.append((i, j))
+    return edges
 
 
 def _select_best(group: list[dict], params: dict) -> dict:
@@ -231,8 +296,8 @@ def _remove_overlaps(
     if not clusters:
         return [], False
     params = OVERLAP_PARAMS[family]
-    boxes = np.array([_box(c) for c in clusters], dtype=np.float64)
-    if len(clusters) > _GRID_CUTOVER:
+    n = len(clusters)
+    if n > _GRID_CUTOVER:
         # pathological pages (scanned books, 10^4+ clusters): the dense
         # (N,N) mask is O(n²) memory, so switch to grid candidate
         # pruning — same edge set (spatial_index.py parity contract),
@@ -240,11 +305,19 @@ def _remove_overlaps(
         # (layout_postprocessor.py:55-221)
         from .spatial_index import overlap_edges_grid
 
+        boxes = np.array([_box(c) for c in clusters], dtype=np.float64)
         edges = overlap_edges_grid(boxes, 0.8, 0.8, epsilon)
-    else:
+    elif n > _DENSE_NUMPY_CUTOVER:
+        boxes = np.array([_box(c) for c in clusters], dtype=np.float64)
         mask = pairwise_overlap_mask(boxes, 0.8, 0.8, epsilon)
         edges = np.argwhere(np.triu(mask, k=1))
-    groups = union_find_groups(len(clusters), edges)
+    else:
+        # typical pages (tens of clusters): the i<j pair loop beats the
+        # dense numpy mask's per-call overhead. Same IEEE-double ops and
+        # comparisons as pairwise_overlap_mask, so the edge set is
+        # identical (pinned by the grid-parity test).
+        edges = _overlap_edges_py(clusters, 0.8 - epsilon, 0.8 - epsilon)
+    groups = union_find_groups(n, edges)
     result: list[dict] = []
     merged = False
     for group_ix in groups:
@@ -276,6 +349,49 @@ def _assign_cells(
     if not clusters or not valid_cells:
         return assigned
 
+    if len(clusters) * len(valid_cells) <= 2048:
+        # typical pages: direct argmax loop (identical semantics — first
+        # cluster with IoS >= 0.95 wins, else first strict argmax above
+        # the floor) without the numpy call overhead. Same IEEE ops.
+        cgeom = [(c["l"], c["t"], c["r"], c["b"]) for c in clusters]
+        for cell in valid_cells:
+            vl = cell["l"]
+            vt = cell["t"]
+            vr = cell["r"]
+            vb = cell["b"]
+            w = vr - vl
+            h = vb - vt
+            area = (w if w > 0.0 else 0.0) * (h if h > 0.0 else 0.0)
+            if area <= 0.0:
+                continue
+            best_val = 0.0
+            best_ix = 0
+            hit95 = False
+            for ci, (cl, ct, cr, cb) in enumerate(cgeom):
+                iw = (vr if vr < cr else cr) - (vl if vl > cl else cl)
+                if iw <= 0.0:
+                    continue
+                ih = (vb if vb < cb else cb) - (vt if vt > ct else ct)
+                if ih <= 0.0:
+                    continue
+                ios_v = (iw * ih) / area
+                if ios_v >= 0.95:
+                    best_ix = ci
+                    hit95 = True
+                    break
+                if ios_v > best_val:
+                    best_val = ios_v
+                    best_ix = ci
+            if hit95 or best_val > min_overlap:
+                best_cluster = clusters[best_ix]
+                best_cluster["cells"].append(cell)
+                if cell["index"] < best_cluster["first_cell_index"]:
+                    best_cluster["first_cell_index"] = cell["index"]
+                assigned.add(cell["index"])
+        for c in clusters:
+            c["cells"] = _dedup_cells(c["cells"])
+        return assigned
+
     cboxes = np.array([_box(c) for c in clusters], dtype=np.float64)
     vboxes = np.array(
         [(c["l"], c["t"], c["r"], c["b"]) for c in valid_cells], dtype=np.float64
@@ -290,8 +406,10 @@ def _assign_cells(
         vboxes[:, None, 1], cboxes[None, :, 1]
     )
     inter = np.maximum(iw, 0.0) * np.maximum(ih, 0.0)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        ios = np.where(areas[:, None] > 0.0, inter / np.maximum(areas[:, None], 1e-300), 0.0)
+    # Clamped denominator: exact where area > 0; zero-area cells (inter
+    # is 0 there) are skipped in the loop below, so the guarded np.where
+    # form is unnecessary — identical assignments, no errstate overhead.
+    ios = inter / np.maximum(areas[:, None], 1e-300)
     # Exact loop semantics vectorized: accept the FIRST cluster (input
     # order) with IoS >= 0.95, else the first argmax when it clears the
     # floor (strictly greater comparison → first max wins).
@@ -300,12 +418,13 @@ def _assign_cells(
     first95 = np.argmax(ge95, axis=1)
     best = np.argmax(ios, axis=1)
     best_val = ios[np.arange(len(valid_cells)), best]
-    chosen = np.where(has95, first95, best)
-    ok = has95 | (best_val > min_overlap)
+    chosen = np.where(has95, first95, best).tolist()
+    ok = (has95 | (best_val > min_overlap)).tolist()
+    areas_l = areas.tolist()
     for i, cell in enumerate(valid_cells):
-        if areas[i] <= 0.0 or not ok[i]:
+        if areas_l[i] <= 0.0 or not ok[i]:
             continue
-        best_cluster = clusters[int(chosen[i])]
+        best_cluster = clusters[chosen[i]]
         best_cluster["cells"].append(cell)
         if cell["index"] < best_cluster["first_cell_index"]:
             best_cluster["first_cell_index"] = cell["index"]
@@ -320,13 +439,27 @@ def _adjust_bboxes(clusters: list[dict]) -> bool:
     unions its own detected bbox (:1009-1047). Returns True if any moved."""
     changed = False
     for c in clusters:
-        if not c["cells"]:
+        cells = c["cells"]
+        if not cells:
             continue
-        ls = [cell["l"] for cell in c["cells"]]
-        ts = [cell["t"] for cell in c["cells"]]
-        rs = [cell["r"] for cell in c["cells"]]
-        bs = [cell["b"] for cell in c["cells"]]
-        nl, nt, nr, nb = min(ls), min(ts), max(rs), max(bs)
+        first = cells[0]
+        nl = first["l"]
+        nt = first["t"]
+        nr = first["r"]
+        nb = first["b"]
+        for cell in cells:
+            v = cell["l"]
+            if v < nl:
+                nl = v
+            v = cell["t"]
+            if v < nt:
+                nt = v
+            v = cell["r"]
+            if v > nr:
+                nr = v
+            v = cell["b"]
+            if v > nb:
+                nb = v
         if c["label"] == TABLE:
             nl, nt = min(nl, c["l"]), min(nt, c["t"])
             nr, nb = max(nr, c["r"]), max(nb, c["b"])

@@ -181,12 +181,21 @@ def _rb_order(
         ]
         if not cand:
             continue
-        tops = sorted(((t[w], w) for w in cand), reverse=True)
+        # top-two scan replaces the full sort: only the (t, w)-max and
+        # runner-up are ever read, and tuple-max over (t[w], w) is exactly
+        # the head of the reverse-sorted list
+        top1 = top2 = None
+        for w in cand:
+            key = (t[w], w)
+            if top1 is None or key > top1:
+                top1, top2 = key, top1
+            elif top2 is None or key > top2:
+                top2 = key
         for i in cand:
-            if tops[0][1] != i:
-                tmax = tops[0][0]
-            elif len(tops) > 1:
-                tmax = tops[1][0]
+            if top1[1] != i:
+                tmax = top1[0]
+            elif top2 is not None:
+                tmax = top2[0]
             else:
                 tmax = None
             if tmax is None or btm[i] >= tmax + _RB_EPS:

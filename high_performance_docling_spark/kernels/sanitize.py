@@ -50,7 +50,14 @@ def sanitize_text(lines: list[str]) -> str:
         else:
             lines[ix] += " "
 
-    return "".join(lines).translate(_NORMALIZATION_TRANS).strip()
+    joined = "".join(lines)
+    # translate() walks every char through the table dict; the six
+    # normalization chars are rare, so probe with C-level substring
+    # scans first — identical output either way
+    for ch in _NORMALIZATION:
+        if ch in joined:
+            return joined.translate(_NORMALIZATION_TRANS).strip()
+    return joined.strip()
 
 
 def clean_cell_text(text: str) -> str:

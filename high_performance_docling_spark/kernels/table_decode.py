@@ -19,6 +19,7 @@ items per call, mirroring the reference's dynamic chunking
 
 from __future__ import annotations
 
+from bisect import bisect_right as _bisect_right
 from typing import Any
 
 from .otsl import OtslCorrector, build_table_cells, check_bbox_sync, translate_bboxes
@@ -60,12 +61,14 @@ def geometric_table_decode(
     row_pos = _bands([t["bbox"][1] for t in tokens], _BAND_TOL)
     col_pos = _bands([t["bbox"][0] for t in tokens], _BAND_TOL)
 
+    # band positions are sorted, so "largest i with pos[i] <= v + tol" is
+    # bisect_right - 1 — same float comparisons, same index as the
+    # reference's linear max() scan
     def row_of(t):
-        y = t["bbox"][1]
-        return max(i for i, p in enumerate(row_pos) if p <= y + _BAND_TOL)
+        return _bisect_right(row_pos, t["bbox"][1] + _BAND_TOL) - 1
 
     def col_of(x):
-        return max(i for i, p in enumerate(col_pos) if p <= x + _BAND_TOL)
+        return _bisect_right(col_pos, x + _BAND_TOL) - 1
 
     n_rows, n_cols = len(row_pos), len(col_pos)
     grid: list[list[dict | None]] = [[None] * n_cols for _ in range(n_rows)]
@@ -228,10 +231,15 @@ def gather_table_tokens(
     ql, qt, qr, qb = table_bbox
     out: list[dict[str, Any]] = []
     for c in page_cells:
-        l, t, r, b = c["l"], c["t"], c["r"], c["b"]
-        iw = min(r, qr) - max(l, ql)
-        ih = min(b, qb) - max(t, qt)
-        if iw <= 0 or ih <= 0:
+        l = c["l"]
+        t = c["t"]
+        r = c["r"]
+        b = c["b"]
+        iw = (r if r < qr else qr) - (l if l > ql else ql)
+        if iw <= 0:
+            continue
+        ih = (b if b < qb else qb) - (t if t > qt else qt)
+        if ih <= 0:
             continue
         if iw * ih / ((r - l) * (b - t) + 1e-6) < ios:
             continue

@@ -18,8 +18,11 @@ All geometry is float64 TOP-LEFT page coords.
 from __future__ import annotations
 
 import math
+from operator import itemgetter as _itemgetter
 
 import numpy as np
+
+_CELL_ID_KEY = _itemgetter("cell_id")
 
 
 # --------------------------------------------------------------------------
@@ -31,8 +34,14 @@ def iopdf_match(table_cells: list[dict], pdf_cells: list[dict]) -> dict[str, lis
     kept when > 0.01. Returns {pdf_id(str): [{"table_cell_id", "iopdf"}]}."""
     if not table_cells or not pdf_cells:
         return {}
-    tb = np.array([t["bbox"] for t in table_cells], dtype=np.float64)  # (T,4)
-    pb = np.array([p["bbox"] for p in pdf_cells], dtype=np.float64)  # (P,4)
+    # flat-buffer construction: np.array over a flat float list is much
+    # cheaper than over a list of 4-element lists
+    tb = np.array(
+        [v for t in table_cells for v in t["bbox"]], dtype=np.float64
+    ).reshape(-1, 4)  # (T,4)
+    pb = np.array(
+        [v for p in pdf_cells for v in p["bbox"]], dtype=np.float64
+    ).reshape(-1, 4)  # (P,4)
     ix1 = np.maximum(tb[:, None, 0], pb[None, :, 0])
     iy1 = np.maximum(tb[:, None, 1], pb[None, :, 1])
     ix2 = np.minimum(tb[:, None, 2], pb[None, :, 2])
@@ -41,16 +50,18 @@ def iopdf_match(table_cells: list[dict], pdf_cells: list[dict]) -> dict[str, lis
     pdf_areas = (pb[:, 2] - pb[:, 0]) * (pb[:, 3] - pb[:, 1])
     pdf_areas = np.where(pdf_areas == 0, 1e-6, pdf_areas)
     iopdf = inter / pdf_areas[None, :]
-    best_t = np.argmax(iopdf, axis=0)
-    best_score = iopdf[best_t, np.arange(pb.shape[0])]
+    best_t = np.argmax(iopdf, axis=0).tolist()
+    # value at the argmax == column max, exactly
+    best_score = iopdf.max(axis=0).tolist()
     matches: dict[str, list[dict]] = {}
-    for j in np.where(best_score > 0.01)[0]:
-        matches[str(pdf_cells[j]["id"])] = [
-            {
-                "table_cell_id": int(table_cells[int(best_t[j])]["cell_id"]),
-                "iopdf": float(best_score[j]),
-            }
-        ]
+    for j, score in enumerate(best_score):
+        if score > 0.01:
+            matches[str(pdf_cells[j]["id"])] = [
+                {
+                    "table_cell_id": int(table_cells[best_t[j]]["cell_id"]),
+                    "iopdf": score,
+                }
+            ]
     return matches
 
 
@@ -110,21 +121,26 @@ def _table_dimension(table_cells: list[dict]) -> tuple[int, int, int]:
 
 def _good_bad_in_column(table_cells, column, matches):
     """Split a column's cells into matched (good, repeated once per match
-    occurrence — the reference appends per match, :84-114) and unmatched."""
+    occurrence — the reference appends per match, :84-114) and unmatched.
+
+    The reference's inner scan over every match per cell is O(cells ×
+    matches); counting match occurrences per table_cell_id once gives the
+    identical good/bad lists (all appends for one cell are the same
+    object, so ``[cell] * count`` preserves order exactly) in O(matches +
+    cells)."""
+    counts: dict[int, int] = {}
+    for match_list in matches.values():
+        for m in match_list:
+            tcid = m["table_cell_id"]
+            counts[tcid] = counts.get(tcid, 0) + 1
     good, bad = [], []
     for cell in table_cells:
         if cell["column_id"] != column:
             continue
-        cid = cell["cell_id"]
-        bad_match = True
-        allow = cell.get("cell_class", 2) > 1
-        if allow:
-            for match_list in matches.values():
-                for m in match_list:
-                    if m["table_cell_id"] == cid:
-                        good.append(cell)
-                        bad_match = False
-        if bad_match:
+        n = counts.get(cell["cell_id"], 0) if cell.get("cell_class", 2) > 1 else 0
+        if n:
+            good.extend([cell] * n)
+        else:
             bad.append(cell)
     return good, bad
 
@@ -244,24 +260,31 @@ def _align_cells_to_pdf(table_cells, pdf_cells, matches):
 def _deduplicate_columns(tab_columns, table_cells, iou_matches, ioc_matches):
     """Drop the lower-scoring of two adjacent columns whose pdf-cell sets
     overlap >60% — :541-680."""
-    pdf_in_col, score_in_col = [], []
+    # cell_id → column map turns the per-column O(matches × cells) scans
+    # into two single passes; per-column float additions happen in the
+    # same order as the reference's per-column loops (iou dict order,
+    # then ioc dict order), so the scores are bit-identical
+    col_of = {c["cell_id"]: c["column_id"] for c in table_cells}
+    pdf_iou_by_col: list[list] = [[] for _ in range(tab_columns)]
+    pdf_ioc_by_col: list[list] = [[] for _ in range(tab_columns)]
+    score_in_col = [0.0] * tab_columns
+    for key, mlist in iou_matches.items():
+        for m in mlist:
+            col = col_of.get(m["table_cell_id"])
+            if col is not None and 0 <= col < tab_columns:
+                score_in_col[col] += m.get("iou", m.get("iopdf", 0.0))
+                pdf_iou_by_col[col].append(key)
+    for key, mlist in ioc_matches.items():
+        for m in mlist:
+            col = col_of.get(m["table_cell_id"])
+            if col is not None and 0 <= col < tab_columns:
+                score_in_col[col] += m["iopdf"]
+                pdf_ioc_by_col[col].append(key)
+    pdf_in_col = []
     for col in range(tab_columns):
-        col_ids = [c["cell_id"] for c in table_cells if c["column_id"] == col]
-        pdf_iou, pdf_ioc = [], []
-        score = 0.0
-        for key, mlist in iou_matches.items():
-            for m in mlist:
-                if m["table_cell_id"] in col_ids:
-                    score += m.get("iou", m.get("iopdf", 0.0))
-                    pdf_iou.append(key)
-        for key, mlist in ioc_matches.items():
-            for m in mlist:
-                if m["table_cell_id"] in col_ids:
-                    score += m["iopdf"]
-                    pdf_ioc.append(key)
+        pdf_iou, pdf_ioc = pdf_iou_by_col[col], pdf_ioc_by_col[col]
         col_pdf = pdf_iou + list(set(pdf_ioc) - set(pdf_iou))
         pdf_in_col.append(list(set(int(x) for x in col_pdf)))
-        score_in_col.append(score)
 
     cols_to_drop = []
     for cl in range(tab_columns - 1):
@@ -274,11 +297,11 @@ def _deduplicate_columns(tab_columns, table_cells, iou_matches, ioc_matches):
             else:
                 cols_to_drop.append(cl)
 
-    removed_ids = []
+    removed_ids = set()
     new_cells = []
     for c in table_cells:
         if c["column_id"] in cols_to_drop:
-            removed_ids.append(c["cell_id"])
+            removed_ids.add(c["cell_id"])
         else:
             new_cells.append(c)
     new_matches = {}
@@ -316,24 +339,39 @@ def _pick_orphans(tab_rows, tab_cols, max_cell_id, table_cells, pdf_cells, match
         bboxes: list[list[list[float]]] = []
         used_ids: list[str] = []
         used_band: list[int] = []
+        lo_key, hi_key = (1, 3) if axis_is_row else (0, 2)
+        span_key = "rowspan_val" if axis_is_row else "colspan_val"
+        grp_key = "row_id" if axis_is_row else "column_id"
+        # band extents in one pass over table_cells (the reference
+        # rescans all cells per band); min/max accumulation is
+        # order-independent, results identical
+        ext: dict[int, list[float]] = {}
+        for cell in table_cells:
+            if span_key not in cell and cell.get("cell_class", 2) > 1:
+                band = cell[grp_key]
+                lo = cell["bbox"][lo_key]
+                hi = cell["bbox"][hi_key]
+                e = ext.get(band)
+                if e is None:
+                    ext[band] = [lo, hi]
+                else:
+                    if lo < e[0]:
+                        e[0] = lo
+                    if hi > e[1]:
+                        e[1] = hi
+        # unmatched pdf cells (matches is not mutated during the scans)
+        unmatched = [
+            (str(p["id"]), p["bbox"][lo_key], p["bbox"][hi_key], p["bbox"])
+            for p in pdf_cells
+            if str(p["id"]) not in matches
+        ]
         for band in range(n_bands):
-            lo_key, hi_key = (1, 3) if axis_is_row else (0, 2)
-            span_key = "rowspan_val" if axis_is_row else "colspan_val"
-            grp_key = "row_id" if axis_is_row else "column_id"
-            los, his = [], []
-            for cell in table_cells:
-                if cell[grp_key] == band and span_key not in cell and cell.get("cell_class", 2) > 1:
-                    los.append(cell["bbox"][lo_key])
-                    his.append(cell["bbox"][hi_key])
-            b_lo = min(los) if los else -1
-            b_hi = max(his) if his else -1
+            e = ext.get(band)
+            b_lo = e[0] if e is not None else -1
+            b_hi = e[1] if e is not None else -1
             in_band, in_depth, in_bbox = [], [], []
-            for pdf_cell in pdf_cells:
-                pid = str(pdf_cell["id"])
-                if pid in matches:
-                    continue
-                p_lo, p_hi = pdf_cell["bbox"][lo_key], pdf_cell["bbox"][hi_key]
-                centroid_band = (b_hi + b_lo) / 2
+            centroid_band = (b_hi + b_lo) / 2
+            for pid, p_lo, p_hi, p_bbox in unmatched:
                 centroid_cell = (p_hi + p_lo) / 2
                 within = (
                     (b_lo <= p_lo <= b_hi)
@@ -348,7 +386,7 @@ def _pick_orphans(tab_rows, tab_cols, max_cell_id, table_cells, pdf_cells, match
                     used_band.append(band)
                     in_band.append(pid)
                     in_depth.append(round(depth))
-                    in_bbox.append(pdf_cell["bbox"])
+                    in_bbox.append(p_bbox)
                 else:
                     used_ix = used_ids.index(pid)
                     prev_band = used_band[used_ix]
@@ -364,7 +402,7 @@ def _pick_orphans(tab_rows, tab_cols, max_cell_id, table_cells, pdf_cells, match
                             used_band.append(band)
                             in_band.append(pid)
                             in_depth.append(round(depth))
-                            in_bbox.append(pdf_cell["bbox"])
+                            in_bbox.append(p_bbox)
             bands.append(in_band)
             depths.append(in_depth)
             bboxes.append(in_bbox)
@@ -485,7 +523,7 @@ def matching_post_process(
         fixed.extend(good)
         fixed.extend(moved)
 
-    fixed_sorted = sorted(fixed, key=lambda k: k["cell_id"])
+    fixed_sorted = sorted(fixed, key=_CELL_ID_KEY)
     ioc_matches = iopdf_match(fixed_sorted, pdf_cells)  # step 5
 
     dedup_cells, dedup_matches, _ncols = _deduplicate_columns(  # step 7
@@ -493,7 +531,7 @@ def matching_post_process(
     )
     final_matches = _final_assignment(dedup_matches)  # step 8
 
-    dedup_sorted = sorted(dedup_cells, key=lambda k: k["cell_id"])  # step 8a
+    dedup_sorted = sorted(dedup_cells, key=_CELL_ID_KEY)  # step 8a
     if len(pdf_cells) > 300:  # performance bypass that changes results (:1333-1340)
         aligned = dedup_sorted
     else:
@@ -563,9 +601,12 @@ def merge_tf_output(docling_output: list[dict], pdf_cells: list[dict]) -> list[d
     """Group responses by (start_col, start_row) grid slot; collect matched
     pdf tokens per slot — tf_predictor.py:379-436."""
     pdf_by_id = {p["id"]: p for p in pdf_cells}
-    slots: dict[str, dict] = {}
+    # tuple grid key instead of the reference's f-string: identical
+    # first-seen insertion order (so identical output order), no string
+    # formatting in the hot loop
+    slots: dict[tuple, dict] = {}
     for item in docling_output:
-        key = f'{item["start_col_offset_idx"]}_{item["start_row_offset_idx"]}'
+        key = (item["start_col_offset_idx"], item["start_row_offset_idx"])
         if key not in slots:
             slots[key] = {
                 "bbox": item["bbox"],
@@ -592,14 +633,16 @@ def merge_tf_output(docling_output: list[dict], pdf_cells: list[dict]) -> list[d
 def compact_row_col_indexes(tf_cells: list[dict]) -> tuple[int, int]:
     """Remap start_row/col to dense 0..K-1 ranks; returns (num_rows,
     num_cols) — tf_predictor.py:584-623. Mutates tf_cells."""
-    start_cols = sorted({c["start_col_offset_idx"] for c in tf_cells})
-    start_rows = sorted({c["start_row_offset_idx"] for c in tf_cells})
+    col_rank = {v: i for i, v in enumerate(sorted({c["start_col_offset_idx"] for c in tf_cells}))}
+    row_rank = {v: i for i, v in enumerate(sorted({c["start_row_offset_idx"] for c in tf_cells}))}
     max_c = max_r = 0
     for c in tf_cells:
-        c["start_col_offset_idx"] = start_cols.index(c["start_col_offset_idx"])
+        c["start_col_offset_idx"] = col_rank[c["start_col_offset_idx"]]
         c["end_col_offset_idx"] = c["start_col_offset_idx"] + c["col_span"]
-        max_c = max(max_c, c["end_col_offset_idx"])
-        c["start_row_offset_idx"] = start_rows.index(c["start_row_offset_idx"])
+        if c["end_col_offset_idx"] > max_c:
+            max_c = c["end_col_offset_idx"]
+        c["start_row_offset_idx"] = row_rank[c["start_row_offset_idx"]]
         c["end_row_offset_idx"] = c["start_row_offset_idx"] + c["row_span"]
-        max_r = max(max_r, c["end_row_offset_idx"])
+        if c["end_row_offset_idx"] > max_r:
+            max_r = c["end_row_offset_idx"]
     return max_r, max_c

@@ -27,9 +27,12 @@ import json
 import os
 import time
 from collections.abc import Iterator
+from operator import itemgetter
 from typing import Any
 
 import pandas as pd
+
+_OFFSET_KEY = itemgetter("offset")
 
 from ..corpus import (
     GenConfig,
@@ -423,8 +426,9 @@ def doc_fused_stage(docs_df, cfg: GenConfig, lineage_dir: str | None = None,
             rows = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 n += 1
-                span_list = [dict(s) for s in spans]
-                span_list.sort(key=lambda s: s["offset"])
+                # spans arrive from Arrow as fresh plain dicts and are
+                # read-only downstream — no defensive copy needed
+                span_list = sorted(spans, key=_OFFSET_KEY)
                 res = extract_doc_result(doc_id, span_list, cfg,
                                          with_confidence=with_confidence,
                                          timers=timers if lineage_dir else None)
