@@ -487,16 +487,18 @@ def typeset(doc_id: str, spans: list[dict[str, Any]], cfg: GenConfig) -> list[Ty
                     scanned: bool = False) -> float:
         el = TypesetElement(ix, kind, page.page_no, x0, y, x0, y,
                             scanned=scanned)
+        cells = page.cells
+        cell_ixs = el.cell_ixs
 
         def emit_cell(text: str, cl: float, cr: float) -> None:
-            cell = {
-                "index": len(page.cells),
+            index = len(cells)
+            cells.append({
+                "index": index,
                 "text": text,
                 "l": cl, "t": y, "r": cr, "b": y + LINE_H,
                 "from_ocr": False, "confidence": 1.0,
-            }
-            page.cells.append(cell)
-            el.cell_ixs.append(cell["index"])
+            })
+            cell_ixs.append(index)
 
         for li, line in enumerate(lines):
             last = li == len(lines) - 1

@@ -513,10 +513,12 @@ def postprocess_page(
     special = [c for c in clusters if c["label"] in SPECIAL_LABELS]
 
     # Valid cells: non-blank text, positive area (:349-357).
+    # (t and not t.isspace()) ⟺ bool(t.strip()) without the allocation.
     valid_cells = [
         c
         for c in cells
-        if str(c.get("text") or "").strip() and (c["r"] - c["l"]) * (c["b"] - c["t"]) > 0
+        if (t := c.get("text")) and not t.isspace()
+        and (c["r"] - c["l"]) * (c["b"] - c["t"]) > 0
     ]
 
     # --- regular clusters (:408-475) ---------------------------------------

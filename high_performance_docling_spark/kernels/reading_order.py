@@ -139,6 +139,7 @@ def _rb_order(
     def left_of(i: int, j: int) -> bool:
         return r[i] < l[j] + _RB_EPS
 
+    geom = list(zip(l, r, btm))  # per-j candidate scan reads these three
     r2l: dict[int, int] = {}
     up: dict[int, list[int]] = {i: [] for i in range(n)}
     dn: dict[int, list[int]] = {i: [] for i in range(n)}
@@ -173,11 +174,10 @@ def _rb_order(
         lj, tj, rj = l[j], t[j], r[j]
         thr = tj + _RB_EPS
         cand = [
-            i for i in range(n)
+            i for i, (li, ri, bi) in enumerate(geom)
             if i != j
-            and btm[i] < thr
-            and (r[i] if r[i] < rj else rj) - (l[i] if l[i] > lj else lj)
-                > _RB_EPS
+            and bi < thr
+            and (ri if ri < rj else rj) - (li if li > lj else lj) > _RB_EPS
         ]
         if not cand:
             continue

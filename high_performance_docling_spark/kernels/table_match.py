@@ -34,6 +34,39 @@ def iopdf_match(table_cells: list[dict], pdf_cells: list[dict]) -> dict[str, lis
     kept when > 0.01. Returns {pdf_id(str): [{"table_cell_id", "iopdf"}]}."""
     if not table_cells or not pdf_cells:
         return {}
+    if len(table_cells) * len(pdf_cells) <= 2048:
+        # typical tables: direct per-pdf-cell argmax loop — same IEEE
+        # ops (clip ≡ skip-on-nonpositive with threshold > 0), same
+        # first-strict-max tie-break as np.argmax, no numpy call overhead
+        tgeom = [
+            (t["bbox"][0], t["bbox"][1], t["bbox"][2], t["bbox"][3],
+             t["cell_id"])
+            for t in table_cells
+        ]
+        matches: dict[str, list[dict]] = {}
+        for p in pdf_cells:
+            pl, pt, pr, pb_ = p["bbox"]
+            pa = (pr - pl) * (pb_ - pt)
+            if pa == 0:
+                pa = 1e-6
+            best_score = 0.0
+            best_cid = tgeom[0][4]
+            for tl, tt, tr, tb_, cid in tgeom:
+                iw = (tr if tr < pr else pr) - (tl if tl > pl else pl)
+                if iw <= 0.0:
+                    continue
+                ih = (tb_ if tb_ < pb_ else pb_) - (tt if tt > pt else pt)
+                if ih <= 0.0:
+                    continue
+                score = (iw * ih) / pa
+                if score > best_score:
+                    best_score = score
+                    best_cid = cid
+            if best_score > 0.01:
+                matches[str(p["id"])] = [
+                    {"table_cell_id": int(best_cid), "iopdf": best_score}
+                ]
+        return matches
     # flat-buffer construction: np.array over a flat float list is much
     # cheaper than over a list of 4-element lists
     tb = np.array(
@@ -228,7 +261,12 @@ def _align_cells_to_pdf(table_cells, pdf_cells, matches):
     by_id = {c["cell_id"]: c for c in table_cells}
     new_cells = []
     for pdf_id, match_list in matches.items():
-        ids = set(int(m["table_cell_id"]) for m in match_list)
+        # single-match lists (the step-8 final assignment) skip the set
+        # build; identical iteration for the general case
+        if len(match_list) == 1:
+            ids = (int(match_list[0]["table_cell_id"]),)
+        else:
+            ids = set(int(m["table_cell_id"]) for m in match_list)
         bbox = pdf_bbox.get(int(pdf_id))
         if not bbox:
             continue
