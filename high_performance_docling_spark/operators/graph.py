@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_link_edges", "pagerank"]
+__all__ = ["degree_oriented_edges", "hash_link_edges", "pagerank"]
 
 
 def hash_link_edges(nodes: DataFrame, *, n_links: int = 3,
@@ -96,22 +96,57 @@ def pagerank(nodes: DataFrame, edges: DataFrame, *, n_iter: int = 3,
     return ranks.select(F.col("node").alias(id_col), "rank")
 
 
+def degree_oriented_edges(edges: DataFrame) -> DataFrame:
+    """Symmetrize + dedup a directed edge list, then orient every
+    undirected edge toward its (higher-degree, then higher-id) endpoint
+    — the total order pi = (degree, id). Returns (a, b) with
+    pi(a) < pi(b). Out-degrees under pi are O(sqrt(m)), which bounds
+    the wedge join in :func:`triangle_counts`."""
+    und = edges.select(
+        F.least("src", "dst").alias("u"),
+        F.greatest("src", "dst").alias("v"),
+    ).distinct()
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    # u < v always holds here, so the (deg, id) tie-break reduces to
+    # "keep u->v unless deg(u) > deg(v)"
+    fwd = F.col("du") <= F.col("dv")
+    return (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle counts over a DIRECTED edge list (symmetrized
-    internally): orient each undirected edge low->high, join wedges
-    e1=(a,b) x e2=(b,c), close against e3=(a,c) — every triangle is
-    produced exactly once (a < b < c). Returns (node, n_triangles)
-    for nodes in >= 1 triangle.
+    internally) with DEGREE-ORDERED orientation (Cohen 2009 / Suri &
+    Vassilvitskii 2011): orient each undirected edge toward the
+    (higher-degree, then higher-id) endpoint, join wedges e1=(a,b) x
+    e2=(b,c), close against e3=(a,c). Under the total order
+    pi = (degree, id) a triangle pi(x)<pi(y)<pi(z) carries oriented
+    edges x->y, y->z, x->z, so the wedge join produces it exactly once
+    (at center y) and the result set is identical to any other
+    one-per-triangle orientation (e.g. plain id order). Returns
+    (node, n_triangles) for nodes in >= 1 triangle.
 
-    Scale shape: two equi-joins on node keys; the classic hazard is a
-    high-degree hub exploding the wedge join (deg^2 wedges) — at scale
-    cap/split hub nodes or use degree-ordered orientation (orient
-    edges toward the higher-degree endpoint) to bound wedge counts."""
-    und = edges.select(
-        F.least("src", "dst").alias("a"),
-        F.greatest("src", "dst").alias("b"),
-    ).distinct()
-    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    Why degree order: with id order a degree-d hub whose id falls
+    mid-range emits O(d^2) wedge rows (in(h) x out(h)); pointing every
+    edge at its higher-degree endpoint gives out-degree O(sqrt(m)) per
+    node, bounding total wedge work at O(m^1.5) on ANY graph — the
+    power-law-crawl-graph hazard the id orientation left open. Costs
+    one extra |V|-row degree aggregation + two node-keyed joins, all
+    map-side-combinable."""
+    oriented = degree_oriented_edges(edges)
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))
         .join(

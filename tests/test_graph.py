@@ -113,3 +113,46 @@ def test_pagerank_converged_reaches_fixpoint(spark):
     assert sum(got.values()) <= 1.0 + 1e-9
     # ordering matches the structural expectation
     assert got[0] == max(got.values())
+
+
+def test_degree_ordered_orientation_bounds_hub_wedges(spark):
+    """Planted hub (VERDICT r6 #3): a mid-id hub of degree ~N. Id-order
+    orientation splits the hub's edges into in(h) x out(h) ≈ (N/2)^2
+    wedge rows; degree-order points every hub edge INTO the hub, so the
+    hub centers zero wedges and total wedge work stays O(N)."""
+    n = 60
+    hub = n // 2  # mid-range id: the worst case for id-ordering
+    leaves = [i for i in range(n + 1) if i != hub]
+    star = [(hub, leaf) for leaf in leaves]
+    # a sprinkle of leaf-leaf edges so some triangles exist
+    extra = [(leaves[i], leaves[i + 1]) for i in range(0, 20, 2)]
+    e = spark.createDataFrame(star + extra, ["src", "dst"])
+
+    und = {tuple(sorted(p)) for p in star + extra}
+    id_oriented = list(und)  # (low, high) — the old orientation
+    id_wedges = sum(
+        1 for (a, b) in id_oriented for (b2, _c) in id_oriented if b2 == b
+    )
+    assert id_wedges >= (n // 2 - 1) ** 2 // 2  # the O(N^2) hazard is real
+
+    oriented = G.degree_oriented_edges(e)
+    rows = [(r["a"], r["b"]) for r in oriented.collect()]
+    assert {tuple(sorted(p)) for p in rows} == und  # same undirected set
+    out_of_hub = sum(1 for a, _b in rows if a == hub)
+    assert out_of_hub == 0  # every hub edge points INTO the hub
+    deg_wedges = (
+        oriented.alias("x")
+        .join(oriented.alias("y"), F.col("x.b") == F.col("y.a"))
+        .count()
+    )
+    assert deg_wedges <= len(und)  # bounded: O(m), not O(N^2)
+
+    # triangle counts are orientation-invariant: hub + each leaf pair
+    # (l, l+1) with hub edges forms one triangle
+    got = {r["node"]: r["n_triangles"]
+           for r in G.triangle_counts(e).collect()}
+    expect: dict[int, int] = {}
+    for a, b in extra:
+        for v in (a, b, hub):
+            expect[v] = expect.get(v, 0) + 1
+    assert got == expect
