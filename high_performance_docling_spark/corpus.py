@@ -32,7 +32,12 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from .kernels.assemble import media_ref_for_crop
-from .kernels.reading_order import assemble_spans, predict_reading_order
+from .kernels.reading_order import (
+    _rb_order,
+    _xy_cut,
+    assemble_spans,
+    predict_reading_order,
+)
 from . import labels as L
 
 PAGE_W = 612.0
@@ -539,16 +544,16 @@ def typeset(doc_id: str, spans: list[dict[str, Any]], cfg: GenConfig) -> list[Ty
                            rendered_lines(ix)[start:end], x0, col_w, y, rng)
 
     def page_flow_ok(page: TypesetPage) -> bool:
-        """Check XY-cut returns flow order for this page's elements."""
-        els = [
-            {"cid": n, "page_no": page.page_no,
-             "l": e.l, "t": e.t, "r": e.r, "b": e.b, "label": e.label}
-            for n, e in enumerate(page.elements)
-        ]
+        """Check both reading-order modes return flow order for this
+        page's elements. Calls the per-page kernels directly (the page is
+        single by construction) — identical to predict_reading_order's
+        single-page grouping, minus the dict packing."""
+        els = page.elements
+        boxes = [(e.l, e.t, e.r, e.b) for e in els]
         flow = list(range(len(els)))
         return (
-            predict_reading_order(els, mode="rb") == flow
-            and predict_reading_order(els, mode="xycut") == flow
+            _rb_order(boxes, flow, [e.label for e in els]) == flow
+            and _xy_cut(boxes, flow) == flow
         )
 
     def fill_column(page: TypesetPage, x0: float, col_w: float, cur: int,

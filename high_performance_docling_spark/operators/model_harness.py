@@ -106,10 +106,15 @@ class FixedBatcher:
             yield from self._flush_one()
 
     def run(self, items: list[Any]) -> list[Any]:
-        """Convenience: batch a fully-materialized item list."""
+        """Convenience: batch a fully-materialized item list. Extends the
+        buffer once and flushes full batches directly — same chunk
+        boundaries and forward-call count as per-item add(), without a
+        generator per item."""
+        self._buf.extend(items)
         out: list[Any] = []
-        for it in items:
-            out.extend(self.add(it))
+        bs = self.spec.batch_size
+        while len(self._buf) >= bs:
+            out.extend(self._flush_one())
         out.extend(self.finish())
         return out
 
