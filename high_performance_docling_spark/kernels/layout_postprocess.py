@@ -317,6 +317,8 @@ def _remove_overlaps(
         # comparisons as pairwise_overlap_mask, so the edge set is
         # identical (pinned by the grid-parity test).
         edges = _overlap_edges_py(clusters, 0.8 - epsilon, 0.8 - epsilon)
+        if not edges:  # nothing overlaps: all-singleton groups, unchanged
+            return list(clusters), False
     groups = union_find_groups(n, edges)
     result: list[dict] = []
     merged = False
