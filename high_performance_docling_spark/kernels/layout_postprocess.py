@@ -493,23 +493,33 @@ def postprocess_page(
     children (list of child clusters, same shape, empty below one level).
     """
     # predictor-side postfilter (base threshold + blacklist + page clamp,
-    # layout_predictor_gpu.py:303-312) — shared by both execution paths
-    raw_clusters = postfilter_detections(raw_clusters, page_width, page_height)
-    clusters = [
-        {
-            "id": int(c["id"]),
-            "label": str(c["label"]),
-            "l": float(c["l"]),
-            "t": float(c["t"]),
-            "r": float(c["r"]),
-            "b": float(c["b"]),
-            "confidence": float(c["confidence"]),
-            "cells": [],
-            "children": [],
-            "first_cell_index": _MAXIDX,
-        }
-        for c in raw_clusters
-    ]
+    # layout_predictor_gpu.py:303-312) fused into the cluster build —
+    # one dict per surviving detection instead of postfilter's
+    # intermediate copy plus a second construction; same filter,
+    # identical clamp arithmetic (postfilter_detections itself stays the
+    # standalone kernel for the staged/detect path and its tests)
+    clusters = []
+    for c in raw_clusters:
+        if c["confidence"] < 0.3:
+            continue
+        l = float(c["l"])
+        t = float(c["t"])
+        r = float(c["r"])
+        b = float(c["b"])
+        clusters.append(
+            {
+                "id": int(c["id"]),
+                "label": str(c["label"]),
+                "l": 0.0 if l < 0.0 else (page_width if l > page_width else l),
+                "t": 0.0 if t < 0.0 else (page_height if t > page_height else t),
+                "r": 0.0 if r < 0.0 else (page_width if r > page_width else r),
+                "b": 0.0 if b < 0.0 else (page_height if b > page_height else b),
+                "confidence": float(c["confidence"]),
+                "cells": [],
+                "children": [],
+                "first_cell_index": _MAXIDX,
+            }
+        )
     max_input_id = max((c["id"] for c in clusters), default=0)
     regular = [c for c in clusters if c["label"] not in SPECIAL_LABELS]
     special = [c for c in clusters if c["label"] in SPECIAL_LABELS]
