@@ -98,6 +98,8 @@ def _ios(inner: dict[str, Any], outer: dict[str, Any]) -> float:
 
 def _dedup_cells(cells: list[dict]) -> list[dict]:
     """Unique by cell index, first occurrence wins (:876-897)."""
+    if len(cells) < 2:
+        return cells
     seen: set[int] = set()
     out = []
     for cell in cells:
@@ -498,7 +500,9 @@ def postprocess_page(
     # intermediate copy plus a second construction; same filter,
     # identical clamp arithmetic (postfilter_detections itself stays the
     # standalone kernel for the staged/detect path and its tests)
-    clusters = []
+    regular: list[dict] = []
+    special: list[dict] = []
+    max_input_id = 0
     for c in raw_clusters:
         if c["confidence"] < 0.3:
             continue
@@ -506,23 +510,23 @@ def postprocess_page(
         t = float(c["t"])
         r = float(c["r"])
         b = float(c["b"])
-        clusters.append(
-            {
-                "id": int(c["id"]),
-                "label": str(c["label"]),
-                "l": 0.0 if l < 0.0 else (page_width if l > page_width else l),
-                "t": 0.0 if t < 0.0 else (page_height if t > page_height else t),
-                "r": 0.0 if r < 0.0 else (page_width if r > page_width else r),
-                "b": 0.0 if b < 0.0 else (page_height if b > page_height else b),
-                "confidence": float(c["confidence"]),
-                "cells": [],
-                "children": [],
-                "first_cell_index": _MAXIDX,
-            }
-        )
-    max_input_id = max((c["id"] for c in clusters), default=0)
-    regular = [c for c in clusters if c["label"] not in SPECIAL_LABELS]
-    special = [c for c in clusters if c["label"] in SPECIAL_LABELS]
+        cid = int(c["id"])
+        label = str(c["label"])
+        cluster = {
+            "id": cid,
+            "label": label,
+            "l": 0.0 if l < 0.0 else (page_width if l > page_width else l),
+            "t": 0.0 if t < 0.0 else (page_height if t > page_height else t),
+            "r": 0.0 if r < 0.0 else (page_width if r > page_width else r),
+            "b": 0.0 if b < 0.0 else (page_height if b > page_height else b),
+            "confidence": float(c["confidence"]),
+            "cells": [],
+            "children": [],
+            "first_cell_index": _MAXIDX,
+        }
+        if cid > max_input_id:
+            max_input_id = cid
+        (special if label in SPECIAL_LABELS else regular).append(cluster)
 
     # Valid cells: non-blank text, positive area (:349-357).
     # (t and not t.isspace()) ⟺ bool(t.strip()) without the allocation.

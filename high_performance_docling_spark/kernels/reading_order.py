@@ -26,6 +26,7 @@ a single TOP-LEFT convention at ingest (SURVEY.md §1.3).
 
 from __future__ import annotations
 
+from bisect import bisect_left as _bisect_left
 from typing import Any
 
 from ..labels import CAPTION, FOOTNOTE, PICTURE, TABLE, DOCUMENT_INDEX, CODE
@@ -139,7 +140,12 @@ def _rb_order(
     def left_of(i: int, j: int) -> bool:
         return r[i] < l[j] + _RB_EPS
 
-    geom = list(zip(l, r, btm))  # per-j candidate scan reads these three
+    # candidates for j all satisfy btm[i] < t[j] + eps: scanning a
+    # btm-ascending prefix (bisect) visits only them. cand ORDER is
+    # irrelevant downstream — it feeds a max scan and up/dn sets (dn is
+    # re-sorted, up is membership-only) — so the permuted order is safe.
+    by_btm = sorted(range(n), key=btm.__getitem__)
+    btm_sorted = [btm[i] for i in by_btm]
     r2l: dict[int, int] = {}
     up: dict[int, list[int]] = {i: [] for i in range(n)}
     dn: dict[int, list[int]] = {i: [] for i in range(n)}
@@ -173,11 +179,12 @@ def _rb_order(
         # the closure-call overhead measured ~10% of serial ms/doc.
         lj, tj, rj = l[j], t[j], r[j]
         thr = tj + _RB_EPS
+        k = _bisect_left(btm_sorted, thr)
         cand = [
-            i for i, (li, ri, bi) in enumerate(geom)
+            i for i in by_btm[:k]
             if i != j
-            and bi < thr
-            and (ri if ri < rj else rj) - (li if li > lj else lj) > _RB_EPS
+            and (r[i] if r[i] < rj else rj) - (l[i] if l[i] > lj else lj)
+            > _RB_EPS
         ]
         if not cand:
             continue
