@@ -282,7 +282,7 @@ def gen_doc_spans(cfg: GenConfig, doc_index: int) -> list[dict[str, Any]]:
 # typesetting (the synthetic "PDF backend")
 # --------------------------------------------------------------------------
 
-@dataclass
+@dataclass(slots=True)
 class TypesetElement:
     span_ix: int            # index into the input span list (-1 = none)
     label: str
@@ -296,7 +296,7 @@ class TypesetElement:
     scanned: bool = False  # image-only region: blank cells, OCR fills text
 
 
-@dataclass
+@dataclass(slots=True)
 class TypesetPage:
     page_no: int
     width: float
